@@ -1,0 +1,320 @@
+"""Scene assembly and the GPU-scene compiler.
+
+The reference keeps meshes in local space and traverses a two-level
+TLAS→BLAS hierarchy, transforming each ray into instance space at TLAS
+leaves (light.wgsl:442-486). That design suits per-thread scalar GPU loops;
+on TPU a data-dependent two-level loop serializes VPU lanes. So the compiler
+here *flattens the scene*: every instance's triangles are pre-transformed to
+world space into one triangle megabuffer with per-triangle instance/material
+ids, and ONE world-space LBVH is built over all of them. Semantics preserved:
+
+* `exclude_instance` (shadow rays skip the emitter, light.wgsl:459) →
+  per-hit instance-id mask;
+* per-instance BLAS probe for emissive sampling (light.wgsl:682-687) →
+  masked brute-force over that instance's triangle range (stored per
+  instance);
+* TLAS rebuild on transform change (instance.rs:352-371) → retransform the
+  instance's triangle slice + LBVH rebuild/refit (vectorized numpy).
+
+Emissive list + light BVH + alias tables follow instance.rs:381-428.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hikari_tpu.models.alias_table import build_alias_table, triangle_areas
+from hikari_tpu.models.bvh import BVH_LEAF_FLAG, build_bvh, refit_bvh
+from hikari_tpu.models.material import StandardMaterial, pack_materials
+from hikari_tpu.models.mesh import Mesh
+
+TRI_PAD = 8  # pad triangle count to a multiple of this (TPU sublane)
+
+
+@dataclasses.dataclass
+class DirectionalLight:
+    """Single directional (sun) light — the only one honored
+    (light.wgsl:611 reads directional_lights[0])."""
+
+    illuminance: float = 100000.0
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # direction the light *travels*; direction_to_light = -direction
+    direction: Tuple[float, float, float] = (0.0, -1.0, 0.0)
+
+    @staticmethod
+    def from_euler(x: float, y: float, z: float, illuminance: float = 100000.0,
+                   color=(1.0, 1.0, 1.0)) -> "DirectionalLight":
+        """Bevy-style XYZ euler rotation of a light looking down -Z."""
+        cx, sx = np.cos(x), np.sin(x)
+        cy, sy = np.cos(y), np.sin(y)
+        cz, sz = np.cos(z), np.sin(z)
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        rot = rx @ ry @ rz
+        fwd = rot @ np.array([0.0, 0.0, -1.0])
+        return DirectionalLight(illuminance=illuminance, color=color,
+                                direction=tuple(fwd))
+
+    def gpu_color(self) -> np.ndarray:
+        # Bevy uploads color_linear * illuminance as the light color uniform.
+        c = np.asarray(self.color, np.float32) * np.float32(self.illuminance)
+        return np.concatenate([c, [1.0]]).astype(np.float32)
+
+
+@dataclasses.dataclass
+class AmbientLight:
+    """Bevy AmbientLight default: white x 0.05 brightness."""
+
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    brightness: float = 0.05
+
+    def gpu_color(self) -> np.ndarray:
+        c = np.asarray(self.color, np.float32) * np.float32(self.brightness)
+        return np.concatenate([c, [1.0]]).astype(np.float32)
+
+
+@dataclasses.dataclass
+class Instance:
+    mesh: int  # index into Scene.meshes
+    material: int  # index into Scene.materials
+    transform: np.ndarray  # 4x4 model matrix
+    prev_transform: Optional[np.ndarray] = None  # for velocity; defaults to transform
+    visible: bool = True
+
+
+def make_transform(translation=(0, 0, 0), rotation=None, scale=(1, 1, 1)) -> np.ndarray:
+    m = np.eye(4)
+    r = np.eye(3) if rotation is None else np.asarray(rotation, np.float64)
+    m[:3, :3] = r * np.asarray(scale, np.float64)[None, :]
+    m[:3, 3] = translation
+    return m
+
+
+class Scene:
+    """Host-side scene: meshes + materials + instances + lights."""
+
+    def __init__(self):
+        self.meshes: List[Mesh] = []
+        self.materials: List[StandardMaterial] = []
+        self.instances: List[Instance] = []
+        self.directional_light = DirectionalLight()
+        self.ambient_light = AmbientLight()
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def add_material(self, material: StandardMaterial) -> int:
+        self.materials.append(material)
+        return len(self.materials) - 1
+
+    def spawn(self, mesh: int, material: int, transform: Optional[np.ndarray] = None,
+              prev_transform: Optional[np.ndarray] = None) -> int:
+        self.instances.append(
+            Instance(mesh, material,
+                     np.eye(4) if transform is None else np.asarray(transform, np.float64),
+                     prev_transform)
+        )
+        return len(self.instances) - 1
+
+    # ------------------------------------------------------------------
+    def compile(self) -> "GpuScene":
+        return compile_scene(self)
+
+
+def _pad_to(x: np.ndarray, n: int, fill=0):
+    if len(x) == n:
+        return x
+    pad_shape = (n - len(x),) + x.shape[1:]
+    return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
+
+
+@dataclasses.dataclass
+class GpuScene:
+    """Flat SoA numpy arrays ready for device upload (the pytree the kernels
+    take). Counts are Python ints = static under jit."""
+
+    arrays: Dict[str, np.ndarray]
+    num_triangles: int
+    num_nodes: int
+    num_instances: int
+    num_emissives: int
+    num_textures: int
+    bvh: object  # Bvh topology (host-only, for refit)
+
+    def as_pytree(self):
+        import jax.numpy as jnp
+
+        return {k: jnp.asarray(v) for k, v in self.arrays.items()}
+
+
+def compile_scene(scene: Scene) -> GpuScene:
+    """Scene -> flat world-space SoA arrays + acceleration structures."""
+    tri_pos, tri_nrm, tri_uv = [], [], []
+    tri_inst, tri_mat = [], []
+    inst_aabb_min, inst_aabb_max = [], []
+    inst_prim_offset, inst_prim_count = [], []
+    inst_material = []
+    inst_model, inst_prev_model = [], []
+
+    visible = [inst for inst in scene.instances if inst.visible]
+
+    offset = 0
+    for iid, inst in enumerate(visible):
+        mesh = scene.meshes[inst.mesh]
+        model = np.asarray(inst.transform, np.float64)
+        prev = model if inst.prev_transform is None else np.asarray(inst.prev_transform, np.float64)
+
+        wpos = mesh.positions @ model[:3, :3].T + model[:3, 3]
+        # normals with inverse-transpose (mikktspace rule, light.wgsl:324-338)
+        it = np.linalg.inv(model[:3, :3]).T
+        wnrm = mesh.normals @ it.T
+        wnrm /= np.maximum(np.linalg.norm(wnrm, axis=-1, keepdims=True), 1e-20)
+
+        idx = mesh.indices.astype(np.int64)
+        tri_pos.append(wpos[idx])  # [F,3,3]
+        tri_nrm.append(wnrm[idx])
+        tri_uv.append(mesh.uvs[idx])
+        f = len(idx)
+        tri_inst.append(np.full(f, iid, np.int32))
+        tri_mat.append(np.full(f, inst.material, np.int32))
+
+        inst_aabb_min.append(wpos.min(axis=0))
+        inst_aabb_max.append(wpos.max(axis=0))
+        inst_prim_offset.append(offset)
+        inst_prim_count.append(f)
+        inst_material.append(inst.material)
+        inst_model.append(model)
+        inst_prev_model.append(prev)
+        offset += f
+
+    if not visible:
+        raise ValueError("scene has no visible instances")
+
+    tri_pos = np.concatenate(tri_pos).astype(np.float32)
+    tri_nrm = np.concatenate(tri_nrm).astype(np.float32)
+    tri_uv = np.concatenate(tri_uv).astype(np.float32)
+    tri_inst = np.concatenate(tri_inst)
+    tri_mat = np.concatenate(tri_mat)
+    num_tris = len(tri_pos)
+
+    # --- world BVH over all triangles
+    aabb_min = tri_pos.min(axis=1)
+    aabb_max = tri_pos.max(axis=1)
+    bvh = build_bvh(aabb_min, aabb_max)
+
+    # --- emissive list + per-instance alias tables (instance.rs:381-419)
+    em_rgba, em_pos, em_radius, em_instance = [], [], [], []
+    em_alias_offset, em_alias_count, em_area = [], [], []
+    alias_prob_all, alias_index_all = [], []
+    for iid, inst in enumerate(visible):
+        mat = scene.materials[inst.material]
+        intensity = mat.emissive_intensity
+        if intensity <= 0.0:
+            continue
+        mesh = scene.meshes[inst.mesh]
+        model = np.asarray(inst.transform, np.float64)
+        areas = triangle_areas(mesh.positions, mesh.indices.astype(np.int64), model)
+        prob, index = build_alias_table(areas)
+        em_alias_offset.append(len(alias_prob_all) and sum(len(p) for p in alias_prob_all))
+        em_alias_offset[-1] = sum(len(p) for p in alias_prob_all)
+        em_alias_count.append(len(prob))
+        alias_prob_all.append(prob)
+        alias_index_all.append(index)
+        em_area.append(float(areas.sum()))
+        lo, hi = inst_aabb_min[iid], inst_aabb_max[iid]
+        em_pos.append(0.5 * (lo + hi))
+        em_radius.append(0.5 * float(np.linalg.norm(hi - lo)) + float(np.sqrt(intensity)))
+        em_rgba.append(np.asarray(mat.emissive, np.float32))
+        em_instance.append(iid)
+
+    num_emissives = len(em_instance)
+    if num_emissives:
+        em_pos_a = np.asarray(em_pos, np.float32)
+        em_radius_a = np.asarray(em_radius, np.float32)
+        em_bvh = build_bvh(em_pos_a - em_radius_a[:, None], em_pos_a + em_radius_a[:, None])
+        alias_prob = np.concatenate(alias_prob_all).astype(np.float32)
+        alias_index = np.concatenate(alias_index_all).astype(np.int32)
+    else:
+        em_pos_a = np.zeros((1, 3), np.float32)
+        em_radius_a = np.zeros(1, np.float32)
+        em_rgba = [np.zeros(4, np.float32)]
+        em_instance = [-1]
+        em_alias_offset, em_alias_count, em_area = [0], [0], [0.0]
+        em_bvh = None
+        alias_prob = np.zeros(1, np.float32)
+        alias_index = np.zeros(1, np.int32)
+
+    # --- materials & textures
+    mat_table, atlas, tex_rects, num_textures = pack_materials(scene.materials)
+
+    num_pad = -(-num_tris // TRI_PAD) * TRI_PAD
+    arrays = {
+        # triangles (padded with degenerate far-away tris, instance -1)
+        "tri_pos": _pad_to(tri_pos, num_pad, fill=np.float32(1e30)),
+        "tri_normal": _pad_to(tri_nrm, num_pad),
+        "tri_uv": _pad_to(tri_uv, num_pad),
+        "tri_instance": _pad_to(tri_inst, num_pad, fill=-1),
+        "tri_material": _pad_to(tri_mat, num_pad, fill=0),
+        # world BVH (entry stored as int32: leaves have the sign bit set,
+        # prim = entry & 0x7fffffff — bit-identical to the u32 flag scheme)
+        "bvh_min": bvh.node_min,
+        "bvh_max": bvh.node_max,
+        "bvh_entry": bvh.entry.view(np.int32),
+        "bvh_exit": bvh.exit.view(np.int32).astype(np.int32),
+        # instances
+        "inst_aabb_min": np.asarray(inst_aabb_min, np.float32),
+        "inst_aabb_max": np.asarray(inst_aabb_max, np.float32),
+        "inst_material": np.asarray(inst_material, np.int32),
+        "inst_prim_offset": np.asarray(inst_prim_offset, np.int32),
+        "inst_prim_count": np.asarray(inst_prim_count, np.int32),
+        "inst_model": np.asarray(inst_model, np.float32),
+        "inst_prev_model": np.asarray(inst_prev_model, np.float32),
+        # emissives + light BVH
+        "em_rgba": np.asarray(em_rgba, np.float32).reshape(-1, 4),
+        "em_position": em_pos_a,
+        "em_radius": em_radius_a,
+        "em_instance": np.asarray(em_instance, np.int32),
+        "em_alias_offset": np.asarray(em_alias_offset, np.int32),
+        "em_alias_count": np.asarray(em_alias_count, np.int32),
+        "em_surface_area": np.asarray(em_area, np.float32),
+        "alias_prob": alias_prob,
+        "alias_index": alias_index,
+        # material table + atlas
+        **{f"mat_{k}": v for k, v in mat_table.items()},
+        "atlas": atlas,
+        "tex_rect": tex_rects,
+        # lights
+        "dir_to_light": (-np.asarray(scene.directional_light.direction, np.float32)
+                         / np.linalg.norm(scene.directional_light.direction)).astype(np.float32),
+        "dir_color": scene.directional_light.gpu_color(),
+        "ambient_color": scene.ambient_light.gpu_color(),
+    }
+    if num_emissives:
+        arrays.update(
+            em_bvh_min=em_bvh.node_min,
+            em_bvh_max=em_bvh.node_max,
+            em_bvh_entry=em_bvh.entry.view(np.int32),
+            em_bvh_exit=em_bvh.exit.view(np.int32).astype(np.int32),
+        )
+    else:
+        arrays.update(
+            em_bvh_min=np.zeros((1, 3), np.float32),
+            em_bvh_max=np.zeros((1, 3), np.float32),
+            em_bvh_entry=np.zeros(1, np.int32),
+            em_bvh_exit=np.ones(1, np.int32),
+        )
+
+    return GpuScene(
+        arrays=arrays,
+        num_triangles=num_tris,
+        num_nodes=bvh.count,
+        num_instances=len(visible),
+        num_emissives=num_emissives,
+        num_textures=num_textures,
+        bvh=bvh,
+    )

@@ -1,0 +1,266 @@
+"""Ray tracing on TPU: lockstep wavefront BVH traversal + brute-force MXU path.
+
+The reference traverses per-thread stackless entry/exit loops
+(light.wgsl:400-486). A scalar data-dependent loop per pixel would serialize
+TPU vector lanes, so this module provides two *batched* engines:
+
+1. `traverse_bvh`: all rays step their own entry/exit cursor in lockstep
+   inside one `lax.while_loop`; each step is a dense gather of node/triangle
+   rows + masked hit updates. Scales to any scene size.
+
+2. `brute_force_intersect`: for small scenes (the cornell/minimal/simple
+   benchmark class) testing EVERY triangle beats traversal on TPU — the
+   [rays x tris] intersection work is dense, regular, and fuses into a few
+   large vector ops (and maps to the MXU in the Pallas variant,
+   ops/trace_pallas.py). `lax.scan` over triangle tiles keeps memory bounded.
+
+Hit contract (matches light.wgsl Hit/Intersection): distance (F32_MAX miss),
+barycentric uv, primitive index, instance index (-1 == miss, standing in for
+the reference's U32_MAX).
+
+Semantics notes:
+* `exclude_instance` skips hits on one instance (shadow rays exclude their
+  emitter, light.wgsl:459).
+* `include_instance` accepts hits ONLY on one instance (the emissive probe
+  ray that the reference traces in the emitter's own BLAS,
+  light.wgsl:682-687).
+* `early_distance` turns the query into an any-hit beyond that distance
+  (light.wgsl:421-424): traversal stops once a hit closer than it is found.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.utils.math import F32_MAX, F32_EPSILON, dot3
+
+DONT_EXCLUDE = jnp.int32(-1)
+ANY_INSTANCE = jnp.int32(-1)
+
+
+def make_ray(origin, direction):
+    inv = jnp.where(jnp.abs(direction) < 1e-20,
+                    jnp.sign(direction) * 1e20 + jnp.float32(1e20) * (direction == 0.0),
+                    1.0 / direction)
+    return origin, direction, inv
+
+
+def intersects_aabb(ro, inv_rd, bmin, bmax):
+    """Slab test (light.wgsl:344-362): returns entry t, or F32_MAX on miss."""
+    t1 = (bmin - ro) * inv_rd
+    t2 = (bmax - ro) * inv_rd
+    t_min = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    t_max = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (t_max >= t_min) & (t_max >= 0.0)
+    return jnp.where(hit, t_min, F32_MAX)
+
+
+def intersect_triangle(ro, rd, v0, v1, v2):
+    """Moller-Trumbore (light.wgsl:364-398). Returns (t, u, v); miss t=F32_MAX."""
+    ab = v1 - v0
+    ac = v2 - v0
+    u_vec = jnp.cross(rd, ac)
+    det = dot3(ab, u_vec)
+    inv_det = jnp.where(jnp.abs(det) < F32_EPSILON, 0.0, 1.0 / det)
+    ao = ro - v0
+    u = dot3(ao, u_vec) * inv_det
+    v_vec = jnp.cross(ao, ab)
+    v = dot3(rd, v_vec) * inv_det
+    distance = dot3(ac, v_vec) * inv_det
+    valid = (
+        (jnp.abs(det) >= F32_EPSILON)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (distance > F32_EPSILON)
+    )
+    return jnp.where(valid, distance, F32_MAX), u, v
+
+
+def _hit_accept(scene, prim, exclude_instance, include_instance):
+    inst = scene["tri_instance"][prim]
+    ok = inst >= 0
+    ok &= inst != exclude_instance
+    ok &= (include_instance < 0) | (inst == include_instance)
+    return ok
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def brute_force_intersect(scene, ro, rd, max_t,
+                          exclude_instance=None, include_instance=None, tile: int = 256):
+    """Nearest-hit over every triangle, tiled scan. Shapes: ro/rd [N,3]."""
+    n = ro.shape[0]
+    p = scene["tri_pos"].shape[0]
+    tile = min(tile, p)
+    num_tiles = -(-p // tile)
+    if exclude_instance is None:
+        exclude_instance = jnp.full((n,), -1, jnp.int32)
+    if include_instance is None:
+        include_instance = jnp.full((n,), -1, jnp.int32)
+
+    tri_pos = scene["tri_pos"]
+    tri_inst = scene["tri_instance"]
+
+    def body(carry, ti):
+        t_best, u_best, v_best, prim_best = carry
+        start = ti * tile
+        v = jax.lax.dynamic_slice_in_dim(tri_pos, start, tile, axis=0)  # [T,3,3]
+        inst = jax.lax.dynamic_slice_in_dim(tri_inst, start, tile, axis=0)  # [T]
+        t, u, vv = intersect_triangle(
+            ro[:, None, :], rd[:, None, :], v[None, :, 0], v[None, :, 1], v[None, :, 2]
+        )  # [N,T]
+        ok = inst[None, :] >= 0
+        ok &= inst[None, :] != exclude_instance[:, None]
+        ok &= (include_instance[:, None] < 0) | (inst[None, :] == include_instance[:, None])
+        t = jnp.where(ok, t, F32_MAX)
+        t = jnp.where(t < max_t[:, None], t, F32_MAX)
+        ti_best = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        t_new = t[rows, ti_best]
+        closer = t_new < t_best
+        t_best = jnp.where(closer, t_new, t_best)
+        u_best = jnp.where(closer, u[rows, ti_best], u_best)
+        v_best = jnp.where(closer, vv[rows, ti_best], v_best)
+        prim_best = jnp.where(closer, start + ti_best, prim_best)
+        return (t_best, u_best, v_best, prim_best), None
+
+    init = (
+        jnp.full((n,), F32_MAX, jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.full((n,), -1, jnp.int32),
+    )
+    (t, u, v, prim), _ = jax.lax.scan(body, init, jnp.arange(num_tiles))
+    miss = prim < 0
+    instance = jnp.where(miss, -1, scene["tri_instance"][jnp.maximum(prim, 0)])
+    return {"t": t, "u": u, "v": v, "prim": prim, "instance": instance}
+
+
+def traverse_bvh(scene, ro, rd, max_t,
+                 exclude_instance=None, include_instance=None,
+                 early_distance=None, max_steps=None):
+    """Lockstep stackless entry/exit traversal over the world BVH.
+
+    All rays advance one node per iteration of a shared while_loop; rays that
+    finish idle (masked) until the last ray exits. Divergence cost is bounded
+    by the longest single-ray path, which the BVH keeps O(log n + hits).
+    """
+    n = ro.shape[0]
+    node_count = scene["bvh_entry"].shape[0]
+    if exclude_instance is None:
+        exclude_instance = jnp.full((n,), -1, jnp.int32)
+    if include_instance is None:
+        include_instance = jnp.full((n,), -1, jnp.int32)
+    if early_distance is None:
+        early_distance = jnp.zeros((n,), jnp.float32)
+
+    _, _, inv_rd = make_ray(ro, rd)
+
+    bvh_min = scene["bvh_min"]
+    bvh_max = scene["bvh_max"]
+    bvh_entry = scene["bvh_entry"]
+    bvh_exit = scene["bvh_exit"]
+    tri_pos = scene["tri_pos"]
+    tri_inst = scene["tri_instance"]
+
+    def cond(state):
+        idx = state[0]
+        return jnp.any(idx < node_count)
+
+    def body(state):
+        idx, t_best, u_best, v_best, prim_best = state
+        safe = jnp.minimum(idx, node_count - 1)
+        entry = bvh_entry[safe]
+        exit_ = bvh_exit[safe]
+        nmin = bvh_min[safe]
+        nmax = bvh_max[safe]
+        active = idx < node_count
+        is_leaf = entry < 0  # sign bit == 0x80000000 leaf flag
+
+        aabb_t = intersects_aabb(ro, inv_rd, nmin, nmax)
+        aabb_hit = aabb_t < t_best
+
+        prim = jnp.where(is_leaf, entry & jnp.int32(0x7FFFFFFF), 0)
+        v = tri_pos[prim]  # [N,3,3]
+        t, u, vv = intersect_triangle(ro, rd, v[:, 0], v[:, 1], v[:, 2])
+        inst = tri_inst[prim]
+        accept = (
+            active & is_leaf & aabb_hit
+            & (t < t_best)
+            & (inst >= 0)
+            & (inst != exclude_instance)
+            & ((include_instance < 0) | (inst == include_instance))
+        )
+        t_best = jnp.where(accept, t, t_best)
+        u_best = jnp.where(accept, u, u_best)
+        v_best = jnp.where(accept, vv, v_best)
+        prim_best = jnp.where(accept, prim, prim_best)
+
+        early_out = accept & (t_best < early_distance)
+        next_idx = jnp.where(is_leaf, exit_, jnp.where(aabb_hit, entry, exit_))
+        idx = jnp.where(active, jnp.where(early_out, node_count, next_idx), idx)
+        return idx, t_best, u_best, v_best, prim_best
+
+    state = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.asarray(max_t, jnp.float32) * jnp.ones((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.full((n,), -1, jnp.int32),
+    )
+    idx, t, u, v, prim = jax.lax.while_loop(cond, body, state)
+    miss = prim < 0
+    instance = jnp.where(miss, -1, tri_inst[jnp.maximum(prim, 0)])
+    return {"t": t, "u": u, "v": v, "prim": prim, "instance": instance}
+
+
+def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512):
+    """Pick the traversal engine at pipeline-build time (static specialization,
+    the analog of the reference's pipeline keys)."""
+    if num_triangles <= brute_force_max:
+        def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
+                  early_distance=None):
+            del early_distance  # brute force always finds the nearest hit
+            return brute_force_intersect(
+                scene, ro, rd, max_t, exclude_instance, include_instance,
+                tile=min(tile, max(8, scene["tri_pos"].shape[0])),
+            )
+        trace.kind = "brute_force"
+    else:
+        def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
+                  early_distance=None):
+            return traverse_bvh(scene, ro, rd, max_t, exclude_instance,
+                                include_instance, early_distance)
+        trace.kind = "bvh"
+    return trace
+
+
+def hit_info(scene, ro, rd, hit):
+    """Interpolate hit attributes (light.wgsl:496-523 `hit_info`).
+
+    Returns dict: position [N,4] (w=1 hit / 0 miss at DISTANCE_MAX), normal,
+    uv, instance, material (-1 on miss).
+    """
+    DISTANCE_MAX = 65535.0
+    prim = jnp.maximum(hit["prim"], 0)
+    miss = hit["instance"] < 0
+    nrm = scene["tri_normal"][prim]  # [N,3,3]
+    uv = scene["tri_uv"][prim]  # [N,3,2]
+    u = hit["u"][:, None]
+    v = hit["v"][:, None]
+    normal = nrm[:, 0] + u * (nrm[:, 1] - nrm[:, 0]) + v * (nrm[:, 2] - nrm[:, 0])
+    normal = normal * jax.lax.rsqrt(jnp.maximum(dot3(normal, normal), 1e-20))[:, None]
+    uv_i = uv[:, 0] + u * (uv[:, 1] - uv[:, 0]) + v * (uv[:, 2] - uv[:, 0])
+    t = jnp.where(miss, DISTANCE_MAX, hit["t"])
+    pos = ro + rd * t[:, None]
+    position = jnp.concatenate([pos, jnp.where(miss, 0.0, 1.0)[:, None]], axis=-1)
+    material = jnp.where(miss, -1, scene["tri_material"][prim])
+    return {
+        "position": position,
+        "normal": jnp.where(miss[:, None], 0.0, normal),
+        "uv": jnp.where(miss[:, None], 0.0, uv_i),
+        "instance": hit["instance"],
+        "material": material,
+    }
