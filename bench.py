@@ -1,0 +1,77 @@
+"""Benchmark: frame time + ray throughput on the flagship scene at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline target (BASELINE.md): < 16 ms/frame at 1080p => vs_baseline =
+16.0 / measured_ms (>1 is better than target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    import dataclasses
+
+    from hikari_tpu import Camera, HikariSettings, Renderer, Taa, Upscale
+
+    width, height = 1920, 1080
+    frames = 20
+
+    # Flagship config: cornell-class scene (emissive NEE + denoise, no reuse)
+    # per BASELINE.json config 2. Falls back to the minimal scene until the
+    # glTF path is benchmarked.
+    try:
+        from examples.cornell import build_scene
+
+        scene = build_scene()
+        camera_kwargs = dict(eye=(0.0, 1.0, 3.2), target=(0.0, 1.0, 0.0))
+        name = "cornell"
+    except Exception:
+        from examples.minimal import build_scene
+
+        scene = build_scene()
+        camera_kwargs = dict(eye=(-2.0, 2.5, 5.0), target=(0, 0, 0))
+        name = "minimal"
+
+    settings = HikariSettings()
+    cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
+    r = Renderer(scene, cam, settings)
+
+    img = r.render_frame()
+    jax.block_until_ready(img)
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img = r.render_frame()
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / frames
+    frame_ms = dt * 1e3
+
+    # rays per frame: 1 primary per full-res pixel + per-render-res-pixel:
+    # direct shadow + emissive (probe + shadow) + indirect (bounce + NEE
+    # probe + NEE shadow) per bounce
+    from hikari_tpu.frame import scaled_size
+
+    rh, rw = scaled_size((height, width), settings.upscale_ratio)
+    n_render = rh * rw
+    rays = height * width + n_render * (1 + 2 + 3 * settings.indirect_bounces)
+    mrays = rays / dt / 1e6
+
+    print(json.dumps({
+        "metric": "frame_ms_1080p",
+        "value": round(frame_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(16.0 / frame_ms, 4),
+        "scene": name,
+        "mrays_per_s": round(mrays, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

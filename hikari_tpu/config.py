@@ -33,6 +33,11 @@ class Taa(enum.Enum):
 class UpscaleMode(enum.Enum):
     FSR1 = "fsr1"
     SMAA_TU4X = "smaa_tu4x"
+    # True pass-through (lighting at full res, no upscale pass). The reference
+    # removed Upscale::None (CHANGELOG 0.3.16) in favor of SmaaTu4x ratio 1
+    # (which supersamples 2x); we keep an explicit off switch for the
+    # benchmark matrix ("denoise/TAA/upscale off").
+    NONE = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,13 +63,8 @@ class Upscale:
 
     @staticmethod
     def none() -> "Upscale":
-        """No upscaling: lighting runs at full resolution.
-
-        (The reference's `Upscale::None` was removed in 0.3.16; ratio-1.0
-        SMAA_TU4X is the supported equivalent. We keep an explicit none for
-        the benchmark matrix.)
-        """
-        return Upscale(UpscaleMode.SMAA_TU4X, 1.0)
+        """No upscaling: lighting runs at full resolution, no upscale pass."""
+        return Upscale(UpscaleMode.NONE, 1.0)
 
     @property
     def clamped_ratio(self) -> float:

@@ -60,8 +60,13 @@ class DirectionalLight:
                                 direction=tuple(fwd))
 
     def gpu_color(self) -> np.ndarray:
-        # Bevy uploads color_linear * illuminance as the light color uniform.
-        c = np.asarray(self.color, np.float32) * np.float32(self.illuminance)
+        # Bevy uploads color_linear * illuminance * exposure, with a fixed
+        # physical-camera exposure (aperture f/4, shutter 1/250s, ISO 100:
+        # ev100 ~= 11.97, exposure = 1/(2^ev100 * 1.2) ~= 1/4800).
+        ev100 = np.log2(4.0 * 4.0 / (1.0 / 250.0))
+        exposure = 1.0 / (2.0 ** ev100 * 1.2)
+        c = (np.asarray(self.color, np.float32)
+             * np.float32(self.illuminance * exposure))
         return np.concatenate([c, [1.0]]).astype(np.float32)
 
 

@@ -1,0 +1,621 @@
+"""Lighting channels: direct / emissive / indirect + spatial reuse.
+
+Re-derivation of light.wgsl's four compute kernels as dense [h,w] tensor
+passes:
+
+* `full_screen_albedo` (light.wgsl:1020-1042) — env-BRDF albedo at full res.
+* `direct_lit` (light.wgsl:1045-1261) — one kernel, two specializations:
+  direct sun channel (RENDER_EMISSIVE) and emissive channel (EMISSIVE_LIT);
+  NEE candidate + shadow ray + temporal ReSTIR + validation frames.
+* `indirect_lit_ambient` (light.wgsl:1264-1498) — cosine-hemisphere bounce
+  with per-bounce NEE, static bounce-count loop, radiance clamp, temporal
+  ReSTIR.
+* `spatial_reuse` (light.wgsl:1503-1684) — Fibonacci-spiral taps with
+  depth/normal/hemisphere gates, screen-space depth ray-march occlusion and
+  GRIS Jacobian reweighting.
+
+Scalar per-frame branches (validation frames) compile as `lax.cond`; per-pixel
+branches are masks. The reference's cross-pixel scatter invalidation of
+previous spatial reservoirs is a real scatter (`reservoir.scatter_reservoir`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.ops import reservoir as rsv
+from hikari_tpu.ops.sampling import (
+    DISTANCE_MAX,
+    RAY_BIAS,
+    occlude_hit_info,
+    select_light_candidate,
+)
+from hikari_tpu.ops.shading import (
+    calculate_view,
+    compute_emissive_radiance,
+    env_brdf,
+    input_radiance,
+    retrieve_surface,
+    shading,
+)
+from hikari_tpu.utils.math import (
+    F32_EPSILON,
+    F32_MAX,
+    GOLDEN_RATIO,
+    TAU,
+    dot3,
+    luminance,
+    normalize,
+    random_float,
+    sample_cosine_hemisphere,
+    normal_basis,
+)
+
+VALIDATION_COUNT_THRESHOLD = 4.0
+SPATIAL_VARIANCE_SAMPLE_THRESHOLD = 4.0
+
+
+# ---------------------------------------------------------------------------
+# G-buffer addressing
+# ---------------------------------------------------------------------------
+
+def pixel_uv(size):
+    h, w = size
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    y = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    u, v = jnp.meshgrid(x, y)
+    return jnp.stack([u, v], axis=-1)  # [h,w,2]
+
+
+def jittered_deferred_uv(uv, deferred_size, frame_number, upscale_ratio,
+                         amount=0.25):
+    """light.wgsl:1007-1011 (0.25) / denoise.wgsl:37-41 (0.5)."""
+    dh, dw = deferred_size
+    texel = jnp.array([1.0 / dw, 1.0 / dh], jnp.float32)
+    sign = jnp.where((frame_number & 1) == 0, -amount, amount)
+    return uv + sign * texel * (upscale_ratio - 1.0)
+
+
+def uv_to_coords(uv, size):
+    h, w = size
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return y, x
+
+
+def gbuffer_at(gbuf, iy, ix):
+    return {k: v[iy, ix] for k, v in gbuf.items()}
+
+
+def in_unit_box(uv, strict=True):
+    d = jnp.abs(uv - 0.5)
+    return jnp.all(d < 0.5, -1) if strict else jnp.all(d <= 0.5, -1)
+
+
+# ---------------------------------------------------------------------------
+# full-screen albedo (light.wgsl:1020-1042)
+# ---------------------------------------------------------------------------
+
+def full_screen_albedo(scene, gbuf, view, no_texture: bool):
+    depth = gbuf["position"][..., 3]
+    valid = depth >= F32_EPSILON
+    normal = gbuf["normal"]
+    material = (gbuf["instance_material"][..., 1]).astype(jnp.int32)
+    uv = gbuf["velocity_uv"][..., 2:4]
+    surface = retrieve_surface(scene, material, uv, no_texture)
+    v = calculate_view(view, gbuf["position"][..., :3])
+    albedo = env_brdf(surface, v, normal)
+    a = jnp.concatenate([albedo, jnp.ones_like(depth)[..., None]], -1)
+    return jnp.where(valid[..., None], a, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# direct / emissive channel (light.wgsl:1045-1261)
+# ---------------------------------------------------------------------------
+
+def _flat(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflat(x, size):
+    return x.reshape(size + x.shape[1:])
+
+
+def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
+               prev_temporal, prev_spatial, *,
+               emissive_lit: bool, temporal_reuse: bool, no_texture: bool,
+               render_size):
+    """Returns dict(render, variance, temporal, prev_spatial)."""
+    h, w = render_size
+    deferred_size = gbuf["position"].shape[:2]
+    uv = pixel_uv(render_size)
+    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
+                               frame["upscale_ratio"])
+    diy, dix = uv_to_coords(duv, deferred_size)
+    g = gbuffer_at(gbuf, diy, dix)
+
+    depth = g["position"][..., 3]
+    valid = depth >= F32_EPSILON
+
+    s = rsv.make_sample(
+        radiance=jnp.zeros((h, w, 4)),
+        random=noise_rand,
+        visible_position=jnp.concatenate(
+            [g["position"][..., :3], depth[..., None]], -1),
+        visible_normal=g["normal"],
+        visible_instance=g["instance_material"][..., 0].astype(jnp.int32),
+        sample_position=jnp.zeros((h, w, 4)),
+        sample_normal=jnp.zeros((h, w, 3)),
+    )
+
+    velocity = g["velocity_uv"][..., :2]
+    mesh_uv = g["velocity_uv"][..., 2:4]
+    previous_uv = duv - velocity
+    prev_in = in_unit_box(previous_uv, strict=False)
+    piy, pix = uv_to_coords(previous_uv, render_size)
+
+    r = rsv.gather_reservoir(prev_temporal, piy, pix,
+                             in_unit_box(previous_uv, strict=True))
+    r, reproj_ok = rsv.check_previous_reservoir(r, s)
+    # cross-pixel invalidation scatter (light.wgsl:1092-1095)
+    prev_spatial = rsv.scatter_reservoir(
+        prev_spatial, piy, pix, r, (~reproj_ok) & prev_in & valid)
+
+    validate_interval = (frame["emissive_validate_interval"] if emissive_lit
+                         else frame["direct_validate_interval"])
+    is_validation = (frame["number"] % jnp.maximum(validate_interval, 1)) == 0
+
+    pos_f = _flat(s["visible_position"][..., :3])
+    nrm_f = _flat(s["visible_normal"])
+    rand_f = _flat(s["random"])
+    inst_f = _flat(s["visible_instance"])
+
+    def sample_branch(r):
+        cand, info = select_light_candidate(
+            scene, tracer, rand_f, pos_f, nrm_f, inst_f,
+            frame["solar_angle"], sample_emissive=emissive_lit)
+        ro = pos_f + nrm_f * RAY_BIAS
+        rd = cand["direction"]
+        trace_ok = (dot3(rd, nrm_f) > 0.0) & (cand["p"] > 0.0)
+        if emissive_lit:
+            trace_ok &= cand["emissive_instance"] >= 0
+        hit = tracer(scene, ro, rd, cand["max_distance"],
+                     cand["emissive_instance"], None, cand["min_distance"])
+        # pixels failing trace_ok keep radiance 0 (masked below)
+        info = occlude_hit_info(ro, rd, hit, info)
+        rad = input_radiance(
+            scene, rd, info["instance"], info["material"], info["uv"],
+            sample_directional=not emissive_lit,
+            sample_emissive=cand["emissive_instance"],
+            sample_ambient=False, solar_angle=frame["solar_angle"],
+            no_texture=no_texture)
+        rad = jnp.where(trace_ok[:, None], rad, 0.0)
+
+        s2 = dict(s)
+        s2["radiance"] = _unflat(rad, render_size)
+        s2["sample_position"] = _unflat(info["position"], render_size)
+        s2["sample_normal"] = _unflat(info["normal"], render_size)
+        w_new = jnp.where(cand["p"] > 0.0,
+                          luminance(rad[:, :3]) / jnp.maximum(cand["p"], 1e-30),
+                          0.0)
+        w_new = _unflat(w_new, render_size)
+        gate = jnp.where(is_validation, r["count"] < VALIDATION_COUNT_THRESHOLD,
+                         True) & valid
+        r2 = rsv.temporal_restir(r, s2, w_new, frame["max_temporal_reuse_count"],
+                                 gate)
+        return r2, s2
+
+    r, s = sample_branch(r)
+
+    def validation_branch(args):
+        r, s, prev_spatial = args
+        r_rand = _flat(r["random"])
+        r_pos = _flat(r["visible_position"][..., :3])
+        r_nrm = _flat(r["visible_normal"])
+        cand, info = select_light_candidate(
+            scene, tracer, r_rand, r_pos, r_nrm, inst_f,
+            frame["solar_angle"], sample_emissive=emissive_lit)
+        ro = pos_f + nrm_f * RAY_BIAS
+        rd = normalize(_flat(r["sample_position"][..., :3]) - pos_f)
+        trace_ok = (dot3(cand["direction"], r_nrm) > 0.0) & (cand["p"] > 0.0)
+        if emissive_lit:
+            trace_ok &= cand["emissive_instance"] >= 0
+        hit = tracer(scene, ro, rd, cand["max_distance"],
+                     cand["emissive_instance"], None, cand["min_distance"])
+        info = occlude_hit_info(ro, rd, hit, info)
+        vrad = input_radiance(
+            scene, rd, info["instance"], info["material"], info["uv"],
+            sample_directional=not emissive_lit,
+            sample_emissive=cand["emissive_instance"],
+            sample_ambient=False, solar_angle=frame["solar_angle"],
+            no_texture=no_texture)
+        vrad = jnp.where(trace_ok[:, None], vrad, 0.0)
+        vrad2 = _unflat(vrad, render_size)
+
+        reuse_validate = r["count"] >= VALIDATION_COUNT_THRESHOLD
+        s2 = dict(s)
+        for key, val in (("random", r["random"]),
+                         ("sample_position", _unflat(info["position"], render_size)),
+                         ("sample_normal", _unflat(info["normal"], render_size)),
+                         ("radiance", vrad2)):
+            m = reuse_validate[..., None] if s2[key].ndim == 3 else reuse_validate
+            s2[key] = jnp.where(m, val, s2[key])
+
+        lum_ratio = luminance(vrad2[..., :3]) / jnp.maximum(
+            luminance(r["radiance"][..., :3]), 1e-4)
+        lum_miss = ((lum_ratio > 1.25) | (lum_ratio < 0.8)) & valid
+
+        prev_spatial = rsv.scatter_reservoir(prev_spatial, piy, pix, r,
+                                             lum_miss & prev_in)
+        w_new = jnp.where(_unflat(cand["p"], render_size) > 0.0,
+                          luminance(s2["radiance"][..., :3])
+                          / jnp.maximum(_unflat(cand["p"], render_size), 1e-30),
+                          0.0)
+        r2 = rsv.where_reservoir(lum_miss, rsv.set_reservoir(s2, w_new), r)
+        return r2, s2, prev_spatial
+
+    r, s, prev_spatial = jax.lax.cond(
+        is_validation, validation_branch, lambda a: a, (r, s, prev_spatial))
+
+    r = rsv.finalize_w(r, luminance(r["radiance"][..., :3]))
+    r["visible_position"] = s["visible_position"]
+    r["visible_normal"] = s["visible_normal"]
+    r["lifetime"] = r["lifetime"] + 1.0
+
+    variance = jnp.where(valid, rsv.reservoir_variance(r), 0.0)
+
+    r = rsv.zero_where(~valid, r)
+    new_temporal = r if temporal_reuse else prev_temporal
+    prev_spatial = rsv.zero_where(~valid, prev_spatial)
+
+    # shade (light.wgsl:1233-1259)
+    material = g["instance_material"][..., 1].astype(jnp.int32)
+    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    view_dir = calculate_view(view, g["position"][..., :3])
+    l_dir = normalize(r["sample_position"][..., :3] - r["visible_position"][..., :3])
+    out = shading(scene, view_dir, r["visible_normal"], l_dir, surface,
+                  r["radiance"]) * r["w"][..., None]
+    if not emissive_lit:  # RENDER_EMISSIVE: the direct channel adds emission
+        out = out + compute_emissive_radiance(surface["emissive"])
+    render = jnp.where(valid[..., None],
+                       jnp.concatenate([out, jnp.ones_like(depth)[..., None]], -1),
+                       0.0)
+    return {"render": render, "variance": variance, "temporal": new_temporal,
+            "prev_spatial": prev_spatial, "reservoir": r, "surface": surface,
+            "view_dir": view_dir, "gbuf_sample": g, "valid": valid}
+
+
+# ---------------------------------------------------------------------------
+# indirect channel (light.wgsl:1264-1498)
+# ---------------------------------------------------------------------------
+
+def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
+                         prev_temporal, prev_spatial, *,
+                         bounces: int, temporal_reuse: bool, no_texture: bool,
+                         render_size):
+    h, w = render_size
+    deferred_size = gbuf["position"].shape[:2]
+    uv = pixel_uv(render_size)
+    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
+                               frame["upscale_ratio"])
+    diy, dix = uv_to_coords(duv, deferred_size)
+    g = gbuffer_at(gbuf, diy, dix)
+
+    depth = g["position"][..., 3]
+    valid = depth >= F32_EPSILON
+
+    if bounces == 0:
+        zeroes = rsv.empty_reservoir(render_size)
+        return {"render": jnp.zeros((h, w, 4)),
+                "variance": jnp.zeros((h, w)),
+                "temporal": zeroes, "prev_spatial": zeroes,
+                "reservoir": zeroes, "valid": valid,
+                "surface": None, "view_dir": None, "gbuf_sample": g}
+
+    normal = normalize(g["normal"])
+    s = rsv.make_sample(
+        radiance=jnp.zeros((h, w, 4)),
+        random=noise_rand,
+        visible_position=jnp.concatenate(
+            [g["position"][..., :3], depth[..., None]], -1),
+        visible_normal=normal,
+        visible_instance=g["instance_material"][..., 0].astype(jnp.int32),
+        sample_position=jnp.zeros((h, w, 4)),
+        sample_normal=jnp.zeros((h, w, 3)),
+    )
+
+    n_pix = h * w
+    b_pos = _flat(s["visible_position"][..., :3])
+    b_nrm = _flat(normal)
+    b_rand = _flat(noise_rand)
+    transport = jnp.ones((n_pix, 3))
+    total_rad = jnp.zeros((n_pix, 4))
+    first_sample_pos = jnp.zeros((n_pix, 4))
+    first_sample_nrm = jnp.zeros((n_pix, 3))
+    pdf = jnp.zeros((n_pix,))
+    alive = jnp.ones((n_pix,), bool)
+
+    for n in range(bounces):
+        local, bounce_pdf = sample_cosine_hemisphere(b_rand[:, :2])
+        rd = jnp.einsum("nij,nj->ni", normal_basis(b_nrm), local)
+        ro = b_pos + b_nrm * RAY_BIAS
+        hit = tracer(scene, ro, rd, jnp.full((n_pix,), F32_MAX))
+        from hikari_tpu.ops.trace import hit_info as make_hit_info
+        info = make_hit_info(scene, ro, rd, hit)
+        hit_ok = info["instance"] >= 0
+
+        if n == 0:
+            first_sample_pos = info["position"]
+            first_sample_nrm = info["normal"]
+            pdf = bounce_pdf
+
+        surface = retrieve_surface(scene, info["material"], info["uv"], no_texture)
+        surface = dict(surface)
+        surface["roughness"] = jnp.ones_like(surface["roughness"])
+
+        cand, cinfo = select_light_candidate(
+            scene, tracer, b_rand, info["position"][..., :3], info["normal"],
+            info["instance"], frame["solar_angle"], sample_emissive=True)
+        sample_directional = cand["emissive_instance"] < 0
+        bounce_view = normalize(b_pos - info["position"][..., :3])
+
+        nee_ok = (dot3(cand["direction"], info["normal"]) > 0.0) & (cand["p"] > 0.0)
+        ro2 = info["position"][..., :3] + info["normal"] * RAY_BIAS
+        hit2 = tracer(scene, ro2, cand["direction"], cand["max_distance"],
+                      cand["emissive_instance"], None, cand["min_distance"])
+        cinfo = occlude_hit_info(ro2, cand["direction"], hit2, cinfo)
+        in_rad = input_radiance(
+            scene, cand["direction"], cinfo["instance"], cinfo["material"],
+            cinfo["uv"], sample_directional=True,
+            sample_emissive=cand["emissive_instance"], sample_ambient=False,
+            solar_angle=frame["solar_angle"], no_texture=no_texture)
+        # directional term only when no emissive was picked
+        in_rad = jnp.where(
+            sample_directional[:, None] | (cinfo["instance"] == cand["emissive_instance"])[:, None],
+            in_rad, jnp.concatenate(
+                [jnp.zeros((n_pix, 3)), in_rad[:, 3:4]], -1))
+        out_rad = shading(scene, bounce_view, info["normal"],
+                          cand["direction"], surface, in_rad)
+        out_rad = out_rad / jnp.maximum(cand["p"][:, None], 1e-30)
+        if n > 0:
+            out_rad = jnp.where(bounce_pdf[:, None] < 0.01, 0.0,
+                                out_rad / jnp.maximum(bounce_pdf[:, None], 1e-30))
+        # radiance clamp (light.wgsl:1372-1376)
+        lum = luminance(out_rad)
+        scale = jnp.where(lum > frame["max_indirect_luminance"],
+                          frame["max_indirect_luminance"] / jnp.maximum(lum, 1e-30),
+                          1.0)
+        out_rad = out_rad * scale[:, None]
+        add_hit = jnp.where((alive & hit_ok & nee_ok)[:, None],
+                            transport * out_rad, 0.0)
+        total_rad = total_rad + jnp.concatenate(
+            [add_hit, (alive & hit_ok & nee_ok).astype(jnp.float32)[:, None]], -1)
+
+        # miss: ambient only, then ray dies (light.wgsl:1388-1393)
+        amb = scene["ambient_color"][:3]
+        add_miss = jnp.where((alive & ~hit_ok)[:, None], transport * amb, 0.0)
+        total_rad = total_rad + jnp.concatenate(
+            [add_miss, jnp.zeros((n_pix, 1))], -1)
+
+        transport = jnp.where(
+            (alive & hit_ok)[:, None],
+            transport * env_brdf(surface, bounce_view, info["normal"]), transport)
+        alive = alive & hit_ok & jnp.any(transport > 0.01, axis=-1)
+        b_rand = jnp.mod(b_rand + frame["number"].astype(jnp.float32) * GOLDEN_RATIO, 1.0)
+        b_pos = jnp.where(hit_ok[:, None], info["position"][..., :3], b_pos)
+        b_nrm = jnp.where(hit_ok[:, None], info["normal"], b_nrm)
+
+    s["radiance"] = _unflat(total_rad, render_size)
+    s["radiance"] = s["radiance"].at[..., 3].set(
+        jnp.minimum(s["radiance"][..., 3], 1.0))
+    s["sample_position"] = _unflat(first_sample_pos, render_size)
+    s["sample_normal"] = _unflat(first_sample_nrm, render_size)
+
+    # temporal ReSTIR (light.wgsl:1452-1497)
+    velocity = g["velocity_uv"][..., :2]
+    mesh_uv = g["velocity_uv"][..., 2:4]
+    previous_uv = duv - velocity
+    prev_in = in_unit_box(previous_uv, strict=False)
+    piy, pix = uv_to_coords(previous_uv, render_size)
+    r = rsv.gather_reservoir(prev_temporal, piy, pix,
+                             in_unit_box(previous_uv, strict=True))
+    r, reproj_ok = rsv.check_previous_reservoir(r, s)
+    prev_spatial = rsv.scatter_reservoir(
+        prev_spatial, piy, pix, r, (~reproj_ok) & prev_in & valid)
+
+    material = g["instance_material"][..., 1].astype(jnp.int32)
+    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    view_dir = calculate_view(view, g["position"][..., :3])
+    sample_rad = shading(
+        scene, view_dir, s["visible_normal"],
+        normalize(s["sample_position"][..., :3] - s["visible_position"][..., :3]),
+        surface, s["radiance"])
+    pdf2 = _unflat(pdf, render_size)
+    w_new = jnp.where(pdf2 > 0.0,
+                      luminance(sample_rad) / jnp.maximum(pdf2, 1e-30), 0.0)
+    r = rsv.temporal_restir(r, s, w_new, frame["max_temporal_reuse_count"], valid)
+
+    out_rad = shading(
+        scene, view_dir, r["visible_normal"],
+        normalize(r["sample_position"][..., :3] - r["visible_position"][..., :3]),
+        surface, r["radiance"])
+    r = rsv.finalize_w(r, luminance(out_rad))
+    r["visible_position"] = s["visible_position"]
+    r["visible_normal"] = s["visible_normal"]
+    r["lifetime"] = r["lifetime"] + 1.0
+
+    variance = jnp.where(valid, rsv.reservoir_variance(r), 0.0)
+    r = rsv.zero_where(~valid, r)
+    new_temporal = r if temporal_reuse else prev_temporal
+    prev_spatial = rsv.zero_where(~valid, prev_spatial)
+
+    render = jnp.where(valid[..., None], jnp.concatenate(
+        [out_rad * r["w"][..., None], jnp.ones((h, w, 1))], -1), 0.0)
+    return {"render": render, "variance": variance, "temporal": new_temporal,
+            "prev_spatial": prev_spatial, "reservoir": r, "surface": surface,
+            "view_dir": view_dir, "gbuf_sample": g, "valid": valid}
+
+
+# ---------------------------------------------------------------------------
+# spatial reuse (light.wgsl:1503-1684)
+# ---------------------------------------------------------------------------
+
+def compute_jacobian(q_s, s):
+    """GRIS Jacobian (light.wgsl:985-1004): q = neighbor, s = current."""
+    n = q_s["sample_normal"]
+    to_r = normalize(s["visible_position"][..., :3] - q_s["sample_position"][..., :3])
+    to_q = normalize(q_s["visible_position"][..., :3] - q_s["sample_position"][..., :3])
+    cos1 = jnp.abs(dot3(to_r, n))
+    cos2 = jnp.abs(dot3(to_q, n))
+    term1 = cos1 / jnp.maximum(cos2, 1e-4)
+    num = jnp.sum((q_s["visible_position"][..., :3]
+                   - q_s["sample_position"][..., :3]) ** 2, -1)
+    den = jnp.sum((s["visible_position"][..., :3]
+                   - q_s["sample_position"][..., :3]) ** 2, -1)
+    term2 = num / jnp.maximum(den, 1e-4)
+    return jnp.clip(term1 * term2, 1.0, 50.0)
+
+
+def spatial_reuse(scene, gbuf, view, frame, temporal_r, prev_spatial,
+                  channel_out, *, emissive_lit: bool, no_texture: bool,
+                  render_size):
+    """Spatial ReSTIR pass for the emissive / indirect channels.
+
+    temporal_r: this frame's temporal reservoirs (what the reference's
+    load_reservoir reads). Returns dict(render, variance(optional update),
+    spatial).
+    """
+    h, w = render_size
+    count_taps = 8 if emissive_lit else 16
+    reuse_range = 10.0 if emissive_lit else 20.0
+    spatial_taps = 4
+
+    deferred_size = gbuf["position"].shape[:2]
+    uv = pixel_uv(render_size)
+    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
+                               frame["upscale_ratio"])
+    diy, dix = uv_to_coords(duv, deferred_size)
+    g = gbuffer_at(gbuf, diy, dix)
+    depth = g["position"][..., 3]
+    valid = depth >= F32_EPSILON
+
+    mesh_uv = g["velocity_uv"][..., 2:4]
+    velocity = g["velocity_uv"][..., :2]
+    material = g["instance_material"][..., 1].astype(jnp.int32)
+    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    view_dir = calculate_view(view, g["position"][..., :3])
+
+    q0 = temporal_r
+    s = {k: q0[k] for k in ("radiance", "random", "visible_position",
+                            "visible_normal", "visible_instance",
+                            "sample_position", "sample_normal")}
+
+    use_spatial_variance = q0["count"] <= SPATIAL_VARIANCE_SAMPLE_THRESHOLD
+
+    previous_uv = duv - velocity
+    pin = in_unit_box(previous_uv, strict=True)
+    piy, pix = uv_to_coords(previous_uv, render_size)
+    prev_sp = rsv.gather_reservoir(prev_spatial, piy, pix, pin)
+
+    max_life = jnp.where(frame["max_reservoir_lifetime"] <= 1.0, F32_MAX,
+                         frame["max_reservoir_lifetime"])
+    keep_history = q0["lifetime"] <= max_life
+    r = rsv.where_reservoir(keep_history, prev_sp, q0)
+
+    if emissive_lit:
+        merge_w0 = luminance(q0["radiance"][..., :3])
+    else:
+        merge_w0 = luminance(shading(
+            scene, view_dir, s["visible_normal"],
+            normalize(s["sample_position"][..., :3]
+                      - s["visible_position"][..., :3]),
+            surface, s["radiance"]))
+    r = rsv.merge_reservoir(r, q0, merge_w0, valid)
+    r["visible_position"] = s["visible_position"]
+    r["visible_normal"] = s["visible_normal"]
+
+    coords_x = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
+    coords_y = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
+    rand_sum = jnp.sum(s["random"], -1) + random_float(frame["number"][None])[0]
+
+    def tap_body(i, r):
+        fi = i.astype(jnp.float32)
+        angle = TAU * jnp.mod(fi * GOLDEN_RATIO + rand_sum, 1.0)
+        radius = jnp.sqrt(fi / count_taps) * reuse_range
+        off_x = radius * jnp.cos(angle)
+        off_y = radius * jnp.sin(angle)
+        sx = (off_x + coords_x).astype(jnp.int32)
+        sy = (off_y + coords_y).astype(jnp.int32)
+        s_uv = jnp.stack([(sx.astype(jnp.float32) + 0.5) / w,
+                          (sy.astype(jnp.float32) + 0.5) / h], -1)
+        in_b = in_unit_box(s_uv, strict=False)
+        sxc = jnp.clip(sx, 0, w - 1)
+        syc = jnp.clip(sy, 0, h - 1)
+
+        s_duv = jittered_deferred_uv(s_uv, deferred_size, frame["number"],
+                                     frame["upscale_ratio"])
+        sdy, sdx = uv_to_coords(s_duv, deferred_size)
+        sample_depth = gbuf["position"][sdy, sdx, 3]
+        q = rsv.gather_reservoir(temporal_r, syc, sxc, in_b)
+
+        depth_ratio = depth / jnp.where(sample_depth == 0.0, 1e-30, sample_depth)
+        ok = in_b & (depth_ratio >= 0.9) & (depth_ratio <= 1.1)
+        ok &= (q["count"] >= F32_EPSILON)
+        ok &= dot3(s["visible_normal"], q["visible_normal"]) >= 0.866
+        sample_dir = normalize(q["sample_position"][..., :3]
+                               - s["visible_position"][..., :3])
+        ok &= dot3(sample_dir, s["visible_normal"]) >= 0.0
+
+        # screen-space depth ray-march occlusion (light.wgsl:1608-1628)
+        tap_interval = jnp.maximum(1.0, radius / (spatial_taps + 1))
+        tap_count = (radius / tap_interval).astype(jnp.int32)
+        inv_len = 1.0 / jnp.maximum(jnp.sqrt(off_x**2 + off_y**2), 1e-20)
+        occluded = jnp.zeros((h, w), bool)
+        max_tc = spatial_taps + 1
+        for j in range(1, max_tc + 1):
+            tap_on = j <= tap_count
+            tap_dist = j * tap_interval
+            tap_u = uv[..., 0] + tap_dist * off_x * inv_len / w
+            tap_v = uv[..., 1] + tap_dist * off_y * inv_len / h
+            t_uv = jnp.stack([tap_u, tap_v], -1)
+            t_duv = jittered_deferred_uv(t_uv, deferred_size, frame["number"],
+                                         frame["upscale_ratio"])
+            tdy, tdx = uv_to_coords(t_duv, deferred_size)
+            tap_depth = gbuf["position"][tdy, tdx, 3]
+            ref_depth = depth + (sample_depth - depth) * (
+                j / (tap_count.astype(jnp.float32) + 1.0))
+            occluded |= tap_on & (tap_depth > ref_depth + 1e-5)
+        ok &= ~occluded
+
+        jac = jnp.where(q["sample_position"][..., 3] > 0.5,
+                        compute_jacobian(q, s), 1.0)
+        if emissive_lit:
+            mw = luminance(q["radiance"][..., :3]) / jac
+        else:
+            mw = luminance(shading(scene, view_dir, s["visible_normal"],
+                                   sample_dir, surface, q["radiance"])) / jac
+        return rsv.merge_reservoir(r, q, mw, ok & valid)
+
+    r = jax.lax.fori_loop(1, count_taps + 1, tap_body, r)
+
+    r = rsv.clamp_reservoir(r, frame["max_spatial_reuse_count"])
+
+    out_rad = shading(scene, view_dir, s["visible_normal"],
+                      normalize(r["sample_position"][..., :3]
+                                - s["visible_position"][..., :3]),
+                      surface, r["radiance"])
+    target_lum = (luminance(r["radiance"][..., :3]) if emissive_lit
+                  else luminance(out_rad))
+    r = rsv.finalize_w(r, target_lum)
+    r["lifetime"] = r["lifetime"] + 1.0
+
+    variance = jnp.where(valid & use_spatial_variance,
+                         rsv.reservoir_variance(r), jnp.nan)
+
+    r = rsv.where_reservoir(valid, r, q0)  # background stores temporal r
+    render = jnp.where(valid[..., None], jnp.concatenate(
+        [r["w"][..., None] * out_rad, jnp.ones((h, w, 1))], -1), 0.0)
+    return {"render": render, "variance": variance, "spatial": r}

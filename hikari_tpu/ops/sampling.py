@@ -1,0 +1,200 @@
+"""Next-event-estimation light candidate selection (light.wgsl:599-708).
+
+Per pixel: (1) sample the solar cone of the single directional light;
+(2) walk the emissive light BVH, reservoir-picking uniformly among emissives
+whose bounding sphere AABB contains the shading point; (3) pick one of the
+chosen emitter's triangles via its alias table, sample a barycentric point,
+and probe-trace a ray restricted to that emitter to find the actual surface
+point and the area-to-solid-angle pdf. Occluded/backfacing picks fall back to
+the directional candidate.
+
+The BVH containment walk runs lockstep over all pixels (one shared
+while_loop), like ops.trace.traverse_bvh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.utils.math import (
+    F32_MAX,
+    GOLDEN_RATIO,
+    dot3,
+    normal_basis,
+    normalize,
+    sample_uniform_cone,
+    sample_uniform_triangle_barycentric,
+)
+
+RAY_BIAS = 0.02
+DISTANCE_MAX = 65535.0
+
+
+def empty_hit_info(position, direction):
+    """light.wgsl:488-494."""
+    n = position.shape[0]
+    pos = position + direction * DISTANCE_MAX
+    return {
+        "position": jnp.concatenate([pos, jnp.zeros((n, 1))], -1),
+        "normal": jnp.zeros((n, 3)),
+        "uv": jnp.zeros((n, 2)),
+        "instance": jnp.full((n,), -1, jnp.int32),
+        "material": jnp.full((n,), -1, jnp.int32),
+    }
+
+
+def walk_emissive_bvh(scene, position, rand_x, exclude_instance):
+    """Streaming uniform pick among emissives containing `position`
+    (light.wgsl:624-657). Returns (picked emissive idx [-1 none], count)."""
+    n = position.shape[0]
+    node_count = scene["em_bvh_entry"].shape[0]
+    entry_a = scene["em_bvh_entry"]
+    exit_a = scene["em_bvh_exit"]
+    nmin_a = scene["em_bvh_min"]
+    nmax_a = scene["em_bvh_max"]
+    em_instance = scene["em_instance"]
+    em_pos = scene["em_position"]
+    em_radius = scene["em_radius"]
+
+    def cond(state):
+        return jnp.any(state[0] < node_count)
+
+    def body(state):
+        idx, picked, count, rand_1d = state
+        safe = jnp.minimum(idx, node_count - 1)
+        entry = entry_a[safe]
+        exit_ = exit_a[safe]
+        active = idx < node_count
+        is_leaf = entry < 0
+        em_idx = jnp.where(is_leaf, entry & jnp.int32(0x7FFFFFFF), 0)
+
+        # leaf AABB = emitter sphere bounds (instance.rs:405-409)
+        c = em_pos[em_idx]
+        r = em_radius[em_idx][:, None]
+        lo = jnp.where(is_leaf[:, None], c - r, nmin_a[safe])
+        hi = jnp.where(is_leaf[:, None], c + r, nmax_a[safe])
+        inside = jnp.all((position > lo) & (position < hi), axis=-1)
+
+        take_leaf = active & is_leaf & inside & (em_instance[em_idx] != exclude_instance)
+        new_rand = jnp.mod(rand_1d + GOLDEN_RATIO, 1.0)
+        rand_1d = jnp.where(take_leaf, new_rand, rand_1d)
+        count = jnp.where(take_leaf, count + 1.0, count)
+        take = take_leaf & (rand_1d < 1.0 / jnp.maximum(count, 1.0))
+        picked = jnp.where(take, em_idx, picked)
+
+        next_idx = jnp.where(is_leaf, exit_, jnp.where(inside, entry, exit_))
+        idx = jnp.where(active, next_idx, idx)
+        return idx, picked, count, rand_1d
+
+    state = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        rand_x,
+    )
+    _, picked, count, _ = jax.lax.while_loop(cond, body, state)
+    return picked, count
+
+
+def select_light_candidate(scene, tracer, rand4, position, normal,
+                           exclude_instance, solar_angle,
+                           sample_emissive: bool):
+    """Returns (candidate, info).
+
+    candidate: {direction [N,3], p [N], max_distance, min_distance,
+    emissive_instance [N] (-1 == directional)}. info: hit-info dict for the
+    sampled light point (used by input_radiance after the shadow trace).
+
+    `sample_emissive=False` reproduces the direct channel's
+    instance == DONT_SAMPLE_EMISSIVE early-out (light.wgsl:619-621).
+    """
+    n = position.shape[0]
+    cone_dir = jnp.broadcast_to(scene["dir_to_light"], (n, 3))
+    cos_solar = jnp.cos(solar_angle)
+    local_dir, _pdf = sample_uniform_cone(rand4[:, 2:4], cos_solar)
+    basis = normal_basis(cone_dir)
+    rand_direction = jnp.einsum("nij,nj->ni", basis, local_dir)
+
+    candidate = {
+        "direction": rand_direction,
+        "p": jnp.ones((n,)),
+        "max_distance": jnp.full((n,), F32_MAX),
+        "min_distance": jnp.full((n,), DISTANCE_MAX),
+        "emissive_instance": jnp.full((n,), -1, jnp.int32),
+    }
+    info = empty_hit_info(position, rand_direction)
+
+    if not sample_emissive:
+        return candidate, info
+
+    picked, count = walk_emissive_bvh(scene, position, rand4[:, 0], exclude_instance)
+    has_pick = picked >= 0
+    em = jnp.maximum(picked, 0)
+
+    # alias-table triangle pick (light.wgsl:662-669)
+    a_count = scene["em_alias_count"][em]
+    a_offset = scene["em_alias_offset"][em]
+    alias_index = jnp.minimum(
+        (rand4[:, 0] * a_count.astype(jnp.float32)).astype(jnp.int32),
+        jnp.maximum(a_count - 1, 0),
+    )
+    slot = a_offset + alias_index
+    take_alias = rand4[:, 1] < scene["alias_prob"][slot]
+    prim_local = jnp.where(take_alias, scene["alias_index"][slot], alias_index)
+    em_inst = scene["em_instance"][em]
+    prim = scene["inst_prim_offset"][em_inst] + prim_local
+
+    v = scene["tri_pos"][prim]  # [N,3,3] (already world space)
+    b = sample_uniform_triangle_barycentric(rand4[:, 2:4])
+    p = (b[:, 0:1] * v[:, 0] + b[:, 1:2] * v[:, 1]
+         + (1.0 - b[:, 0:1] - b[:, 1:2]) * v[:, 2])
+
+    ro = position + normal * RAY_BIAS
+    rd = normalize(p - position)
+
+    probe = tracer(scene, ro, rd, jnp.full((n,), F32_MAX),
+                   None, jnp.where(has_pick, em_inst, jnp.int32(-2)))
+    from hikari_tpu.ops.trace import hit_info as make_hit_info
+
+    pinfo = make_hit_info(scene, ro, rd, probe)
+    probe_ok = has_pick & (dot3(rd, normal) > 0.0) & (probe["instance"] >= 0)
+
+    delta = pinfo["position"][:, :3] - position
+    d2 = dot3(delta, delta)
+    denom = jnp.abs(dot3(rd, pinfo["normal"]) * scene["em_surface_area"][em])
+    p_em = d2 / jnp.maximum(denom, 1e-20) / jnp.maximum(count, 1.0)
+
+    sel = probe_ok
+    sel3 = sel[:, None]
+    candidate = {
+        "direction": jnp.where(sel3, rd, rand_direction),
+        "p": jnp.where(sel, p_em, 1.0),
+        "max_distance": jnp.where(sel, probe["t"], F32_MAX),
+        "min_distance": jnp.where(sel, probe["t"] - 0.1, DISTANCE_MAX),
+        "emissive_instance": jnp.where(sel, em_inst, jnp.int32(-1)),
+    }
+    # on probe failure, fall back to the *probe ray origin* empty info
+    # (light.wgsl:697-704 uses ray.origin there)
+    fallback = empty_hit_info(jnp.where(sel3, position, ro), rand_direction)
+    info = {
+        k: jnp.where(sel3 if pinfo[k].ndim == 2 else sel, pinfo[k], fallback[k])
+        for k in pinfo
+    }
+    return candidate, info
+
+
+def occlude_hit_info(ro, rd, shadow_hit, info):
+    """Overwrite info where the shadow ray hit an occluder
+    (light.wgsl:526-533)."""
+    occluded = shadow_hit["instance"] >= 0
+    o3 = occluded[:, None]
+    pos = ro + rd * shadow_hit["t"][:, None]
+    pos4 = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
+    return {
+        "position": jnp.where(o3, pos4, info["position"]),
+        "normal": jnp.where(o3, 0.0, info["normal"]),
+        "uv": info["uv"],
+        "instance": jnp.where(occluded, shadow_hit["instance"], info["instance"]),
+        "material": jnp.where(occluded, -1, info["material"]),
+    }
