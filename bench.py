@@ -19,7 +19,9 @@ def main():
 
     from hikari_tpu import Camera, HikariSettings, Renderer, Taa, Upscale
 
-    width, height = 1920, 1080
+    import os as _o
+    width = int(_o.environ.get("BENCH_W", 1920))
+    height = int(_o.environ.get("BENCH_H", 1080))
     frames = 20
 
     # Flagship config: cornell-class scene (emissive NEE + denoise, no reuse)
@@ -38,7 +40,17 @@ def main():
         camera_kwargs = dict(eye=(-2.0, 2.5, 5.0), target=(0, 0, 0))
         name = "minimal"
 
-    settings = HikariSettings()
+    # BASELINE config 2 (cornell): "emissive alias-table NEE, denoise on,
+    # no reuse". TAA/upscale off => lighting at full 1080p.
+    settings = dataclasses.replace(
+        HikariSettings(),
+        temporal_reuse=False,
+        emissive_spatial_reuse=False,
+        indirect_spatial_reuse=False,
+        denoise=True,
+        taa=Taa.NONE,
+        upscale=Upscale.none(),
+    )
     cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
     r = Renderer(scene, cam, settings)
 

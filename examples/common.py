@@ -73,4 +73,8 @@ def run(scene, camera_kwargs, settings, args, name: str):
     out = args.out or f"/tmp/{name}.png"
     r.save_png(out, np.asarray(img))
     print(f"[{name}] saved {out}")
+
+    if args.dump_passes:
+        r.render_dissection(args.dump_passes)
+        print(f"[{name}] per-pass dissection dumped to {args.dump_passes}")
     return r, img

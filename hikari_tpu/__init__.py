@@ -17,6 +17,22 @@ Reference behavior (feature parity target): /root/reference (bevy-hikari
 v0.3.15); see SURVEY.md at the repo root for the layer map and citations.
 """
 
+import os as _os
+
+if not _os.environ.get("HIKARI_NO_COMPILE_CACHE"):
+    # The full frame program is large and this environment's TPU backend
+    # compiles remotely (~minutes cold). A persistent on-disk executable
+    # cache makes that a one-time cost per program shape.
+    import jax as _jax
+
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 from hikari_tpu.config import (
     HikariSettings,
     HikariUniversalSettings,

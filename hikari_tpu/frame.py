@@ -6,10 +6,16 @@ traced XLA program: `render_frame(scene, view, frame, noise, carry) ->
 (image, carry)` with every pass a pure tensor op and all persistent state
 (reservoirs, G-buffer history, post-process history) threaded through the
 functional `carry` — zero host round-trips inside a frame.
+
+Gather discipline (TPU): the G-buffer is resampled to render resolution
+ONCE via strided slices; all three channels' temporal reprojection is ONE
+combined packed row-gather; spatial reservoirs stay packed [h,w,28] across
+the frame and receive at most a couple of packed row-scatters.
 """
 
 from __future__ import annotations
 
+import math as _math
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -24,10 +30,14 @@ from hikari_tpu.ops.tonemap import tone_mapping
 
 def scaled_size(full_size: Tuple[int, int], ratio: float) -> Tuple[int, int]:
     """ceil(size / ratio) — post_process.rs:1172-1174."""
-    import math
-
     h, w = full_size
-    return (max(1, math.ceil(h / ratio)), max(1, math.ceil(w / ratio)))
+    return (max(1, _math.ceil(h / ratio)), max(1, _math.ceil(w / ratio)))
+
+
+def _post_size(settings: HikariSettings, render_size):
+    if settings.upscale.mode == UpscaleMode.SMAA_TU4X:
+        return (2 * render_size[0], 2 * render_size[1])
+    return render_size
 
 
 def init_carry(full_size, settings: HikariSettings):
@@ -37,13 +47,14 @@ def init_carry(full_size, settings: HikariSettings):
     h, w = full_size
     rh, rw = render_size
     zeros4 = lambda s: jnp.zeros(s + (4,), jnp.float32)
+    packed = lambda: jnp.zeros((rh, rw, rsv.PACKED_WIDTH), jnp.float32)
     return {
         "frame_number": jnp.uint32(0),
-        "direct_temporal": rsv.empty_reservoir(render_size),
-        "emissive_temporal": rsv.empty_reservoir(render_size),
-        "indirect_temporal": rsv.empty_reservoir(render_size),
-        "spatial_de": rsv.empty_reservoir(render_size),
-        "spatial_indirect": rsv.empty_reservoir(render_size),
+        "direct_temporal": packed(),
+        "emissive_temporal": packed(),
+        "indirect_temporal": packed(),
+        "spatial_de": packed(),
+        "spatial_indirect": packed(),
         # previous G-buffer (prepass.rs:286-307 previous_* textures)
         "prev_gbuffer": {
             "position": zeros4((h, w)),
@@ -61,19 +72,22 @@ def init_carry(full_size, settings: HikariSettings):
     }
 
 
-def _post_size(settings: HikariSettings, render_size):
-    if settings.upscale.mode == UpscaleMode.SMAA_TU4X:
-        return (2 * render_size[0], 2 * render_size[1])
-    return render_size
+def _zero_packed_where(mask, packed):
+    return jnp.where(mask[..., None], 0.0, packed)
 
 
 def build_render_frame(settings: HikariSettings, full_size, tracer,
-                       no_texture: bool):
+                       no_texture: bool, debug: bool = False):
     """Returns render_frame(scene, view, frame_uniform, noise, carry) ->
-    (image [H,W,4], albedo [H,W,4], carry). Specialized on static settings."""
+    (image [H,W,4], albedo [H,W,4], carry[, debug_dict]). Specialized on
+    static settings. debug=True additionally returns per-pass intermediates
+    (the analog of the reference's assets/screenshots/dissection images)."""
     render_size = scaled_size(full_size, settings.upscale_ratio)
     taa = settings.taa
     upscale = settings.upscale
+    ratio = settings.upscale_ratio
+    track_de = settings.emissive_spatial_reuse
+    track_ind = settings.indirect_spatial_reuse and settings.indirect_bounces > 0
 
     def render_frame(scene, view, frame, noise, carry):
         prev_view = {"view_proj": carry["prev_view_proj"],
@@ -81,55 +95,83 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         gbuf = prepass(scene, tracer, view, prev_view, frame["number"],
                        full_size, taa, upscale.mode)
-
         albedo = restir.full_screen_albedo(scene, gbuf, view, no_texture)
 
+        g = restir.resample_gbuffer(gbuf, render_size, frame["number"], ratio)
+        valid = g["position"][..., 3] >= 1.1920929e-7
         rand = sample_blue_noise(noise, frame["number"], render_size)
+        reproj = restir.reprojection(g, frame, render_size)
+
+        # ONE combined reprojection gather for all three channels
+        if settings.temporal_reuse:
+            combined = jnp.concatenate(
+                [carry["direct_temporal"], carry["emissive_temporal"],
+                 carry["indirect_temporal"]], axis=-1)
+            rh, rw, f3 = combined.shape
+            flat = combined.reshape(rh * rw, f3)
+            idx = (reproj["piy"] * rw + reproj["pix"]).reshape(-1)
+            gathered = jnp.take(flat, idx, axis=0).reshape(rh, rw, f3)
+            gathered = jnp.where(reproj["in_strict"][..., None], gathered, 0.0)
+            fw = rsv.PACKED_WIDTH
+            prev_rs = []
+            for c in range(3):
+                r = rsv.unpack_reservoir(gathered[..., c * fw:(c + 1) * fw])
+                r["visible_instance"] = jnp.where(
+                    reproj["in_strict"], r["visible_instance"], -1)
+                prev_rs.append(r)
+        else:
+            prev_rs = [rsv.empty_reservoir(render_size) for _ in range(3)]
 
         # --- direct channel (RENDER_EMISSIVE)
         spatial_de = carry["spatial_de"]
         d = restir.direct_lit(
-            scene, tracer, gbuf, view, frame, rand,
-            carry["direct_temporal"], spatial_de,
+            scene, tracer, g, view, frame, rand, reproj, prev_rs[0],
+            spatial_de if track_de else None,
             emissive_lit=False, temporal_reuse=settings.temporal_reuse,
-            no_texture=no_texture, render_size=render_size)
-        spatial_de = d["prev_spatial"]
+            no_texture=no_texture, track_spatial=track_de,
+            render_size=render_size)
+        if track_de:
+            spatial_de = d["prev_spatial_packed"]
 
         # --- emissive channel (EMISSIVE_LIT)
         e = restir.direct_lit(
-            scene, tracer, gbuf, view, frame, rand,
-            carry["emissive_temporal"], spatial_de,
+            scene, tracer, g, view, frame, rand, reproj, prev_rs[1],
+            spatial_de if track_de else None,
             emissive_lit=True, temporal_reuse=settings.temporal_reuse,
-            no_texture=no_texture, render_size=render_size)
-        spatial_de = e["prev_spatial"]
+            no_texture=no_texture, track_spatial=track_de,
+            render_size=render_size)
         e_render, e_var = e["render"], e["variance"]
-        if settings.emissive_spatial_reuse:
+        if track_de:
+            spatial_de = e["prev_spatial_packed"]
             sp = restir.spatial_reuse(
-                scene, gbuf, view, frame, e["reservoir"], spatial_de,
-                e, emissive_lit=True, no_texture=no_texture,
+                scene, g, view, frame, e["temporal"], spatial_de, reproj,
+                emissive_lit=True, no_texture=no_texture,
                 render_size=render_size)
-            spatial_de = sp["spatial"]
+            spatial_de = rsv.pack_reservoir(sp["spatial"])
             e_render = sp["render"]
             e_var = jnp.where(jnp.isnan(sp["variance"]), e_var, sp["variance"])
+            spatial_de = _zero_packed_where(~valid, spatial_de)
 
         # --- indirect channel
         spatial_ind = carry["spatial_indirect"]
         i = restir.indirect_lit_ambient(
-            scene, tracer, gbuf, view, frame, rand,
-            carry["indirect_temporal"], spatial_ind,
+            scene, tracer, g, view, frame, rand, reproj, prev_rs[2],
+            spatial_ind if track_ind else None,
             bounces=settings.indirect_bounces,
             temporal_reuse=settings.temporal_reuse,
-            no_texture=no_texture, render_size=render_size)
-        spatial_ind = i["prev_spatial"]
+            no_texture=no_texture, track_spatial=track_ind,
+            render_size=render_size)
         i_render, i_var = i["render"], i["variance"]
-        if settings.indirect_spatial_reuse and settings.indirect_bounces > 0:
+        if track_ind:
+            spatial_ind = i["prev_spatial_packed"]
             sp = restir.spatial_reuse(
-                scene, gbuf, view, frame, i["reservoir"], spatial_ind,
-                i, emissive_lit=False, no_texture=no_texture,
+                scene, g, view, frame, i["temporal"], spatial_ind, reproj,
+                emissive_lit=False, no_texture=no_texture,
                 render_size=render_size)
-            spatial_ind = sp["spatial"]
+            spatial_ind = rsv.pack_reservoir(sp["spatial"])
             i_render = sp["render"]
             i_var = jnp.where(jnp.isnan(sp["variance"]), i_var, sp["variance"])
+            spatial_ind = _zero_packed_where(~valid, spatial_ind)
 
         d_render, d_var = d["render"], d["variance"]
 
@@ -139,13 +181,13 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
             # firefly filtering: off for direct, on for emissive/indirect
             # (post_process.rs:773-784, 1192-1196)
-            d_render = denoise_channel(gbuf, albedo, d_render, d_var, frame,
-                                       render_size, firefly=False)
-            e_render = denoise_channel(gbuf, albedo, e_render, e_var, frame,
-                                       render_size, firefly=True)
+            d_render = denoise_channel(g, albedo, d_render, d_var, frame,
+                                       render_size, ratio, firefly=False)
+            e_render = denoise_channel(g, albedo, e_render, e_var, frame,
+                                       render_size, ratio, firefly=True)
             if settings.indirect_bounces > 0:
-                i_render = denoise_channel(gbuf, albedo, i_render, i_var,
-                                           frame, render_size, firefly=True)
+                i_render = denoise_channel(g, albedo, i_render, i_var, frame,
+                                           render_size, ratio, firefly=True)
 
         tone = tone_mapping(d_render, e_render, i_render, frame["clear_color"])
 
@@ -157,9 +199,12 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         new_carry = {
             "frame_number": frame["number"] + 1,
-            "direct_temporal": d["temporal"],
-            "emissive_temporal": e["temporal"],
-            "indirect_temporal": i["temporal"],
+            "direct_temporal": rsv.pack_reservoir(d["temporal"])
+            if settings.temporal_reuse else carry["direct_temporal"],
+            "emissive_temporal": rsv.pack_reservoir(e["temporal"])
+            if settings.temporal_reuse else carry["emissive_temporal"],
+            "indirect_temporal": rsv.pack_reservoir(i["temporal"])
+            if settings.temporal_reuse else carry["indirect_temporal"],
             "spatial_de": spatial_de,
             "spatial_indirect": spatial_ind,
             "prev_gbuffer": {
@@ -172,6 +217,25 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             "prev_inverse_view_proj": view["inverse_view_proj"],
             **post_carry,
         }
+        if debug:
+            dbg = {
+                "gbuffer_position": gbuf["position"],
+                "gbuffer_normal": gbuf["normal"],
+                "gbuffer_depth_gradient": gbuf["depth_gradient"],
+                "gbuffer_velocity_uv": gbuf["velocity_uv"],
+                "albedo": albedo,
+                "direct_raw": d["render"],
+                "emissive_raw": e["render"],
+                "indirect_raw": i["render"],
+                "direct_denoised": d_render,
+                "emissive_denoised": e_render,
+                "indirect_denoised": i_render,
+                "direct_variance": d["variance"],
+                "emissive_variance": e_var,
+                "indirect_variance": i_var,
+                "tone_mapping": tone,
+            }
+            return image, albedo, new_carry, dbg
         return image, albedo, new_carry
 
     return render_frame

@@ -223,17 +223,37 @@ def _preorder_flatten(first, last, prim_order, leaf_min, leaf_max) -> Bvh:
     return Bvh(out_min, out_max, out_entry, out_exit, out_first, out_last, prim_order)
 
 
-def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray) -> Bvh:
-    """Build a flattened LBVH over primitives given their AABBs.
+def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray,
+              method: str = "auto") -> Bvh:
+    """Build a flattened BVH over primitives given their AABBs.
 
     Replaces the reference's `BVH::build` + `flatten_custom(&GpuNode::pack)`
     calls for BLAS (src/mesh_material/mod.rs:458-459), TLAS
     (src/mesh_material/instance.rs:365-371) and the emissive light BVH
     (src/mesh_material/instance.rs:422-428).
+
+    method: "auto" (native binned-SAH when available, else LBVH),
+    "sah" (native, error if unavailable), or "lbvh" (vectorized numpy,
+    used for per-frame rebuilds of dynamic scenes).
     """
     aabb_min = np.asarray(aabb_min, dtype=np.float64).reshape(-1, 3)
     aabb_max = np.asarray(aabb_max, dtype=np.float64).reshape(-1, 3)
     n = len(aabb_min)
+
+    if method in ("auto", "sah") and n > 1:
+        try:
+            from hikari_tpu.models import native
+
+            if native.available():
+                (node_min, node_max, entry, exit_, first, last,
+                 prim_order) = native.build_bvh_sah(aabb_min, aabb_max)
+                return Bvh(node_min, node_max, entry, exit_, first, last,
+                           prim_order)
+            if method == "sah":
+                raise RuntimeError("native SAH builder unavailable")
+        except Exception:
+            if method == "sah":
+                raise
     if n == 0:
         z3 = np.zeros((0, 3), np.float32)
         z = np.zeros((0,), np.uint32)

@@ -6,10 +6,10 @@ denoise.wgsl:135-166) then four a-trous iterations with step sizes 8/4/2/1
 luminance/variance (denoise.wgsl:43-66); optional firefly clamp; the last
 level re-multiplies albedo.
 
-TPU note: each level is a 9-tap stencil gather — XLA fuses the weight math
-into the gathers; the taps at fixed offsets are `jnp.roll`-free dynamic
-slices on padded arrays to stay dense (no gather needed for the inner taps
-since offsets are static per level).
+All taps are STATIC shifts of the render-res-resampled G-buffer — pure
+stencils XLA fuses, no gathers (the jittered deferred lookup is handled once
+by restir.resample_deferred; the denoiser's 0.5-texel jitter resolves to the
+same parity slice at the supported ratios).
 """
 
 from __future__ import annotations
@@ -17,19 +17,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hikari_tpu.config import ATROUS_KERNEL
-from hikari_tpu.ops.restir import (
-    gbuffer_at,
-    jittered_deferred_uv,
-    pixel_uv,
-    uv_to_coords,
-)
+from hikari_tpu.ops.restir import resample_deferred
 from hikari_tpu.utils.math import F32_EPSILON, F32_MAX, luminance, normalize
 
 _STEPS = (8, 4, 2, 1)
 
 
 def _shift2d(img, dy, dx):
-    """Static shift with edge-of-image invalid marker (returns img, valid)."""
+    """Static shift with validity mask for out-of-image taps."""
     h, w = img.shape[:2]
     pad_y = (max(dy, 0), max(-dy, 0))
     pad_x = (max(dx, 0), max(-dx, 0))
@@ -67,15 +62,10 @@ def instance_weight(i0, i1):
     return jnp.maximum(0.0, 1.0 - jnp.abs(i0 - i1))
 
 
-def demodulate(gbuf, albedo, render, variance, frame, render_size):
+def demodulate(albedo_r, render, variance, render_size):
     """irradiance = render / albedo; variance 3x3 prefilter
     (denoise.wgsl:135-166)."""
-    deferred_size = gbuf["position"].shape[:2]
-    uv = pixel_uv(render_size)
-    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
-                               frame["upscale_ratio"], amount=0.5)
-    diy, dix = uv_to_coords(duv, deferred_size)
-    alb = albedo[diy, dix, :3]
+    alb = albedo_r[..., :3]
     irr = jnp.where(alb < 0.01, 0.0, render[..., :3] / jnp.maximum(alb, 1e-6))
 
     var = jnp.zeros(render_size, jnp.float32)
@@ -87,26 +77,23 @@ def demodulate(gbuf, albedo, render, variance, frame, render_size):
     return irr, var
 
 
-def denoise_channel(gbuf, albedo, render, variance, frame, render_size,
-                    firefly: bool):
-    """Full demodulate + 4-level a-trous + remodulate for one channel."""
-    deferred_size = gbuf["position"].shape[:2]
-    uv = pixel_uv(render_size)
-    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
-                               frame["upscale_ratio"], amount=0.5)
-    diy, dix = uv_to_coords(duv, deferred_size)
-    g = gbuffer_at(gbuf, diy, dix)
+def denoise_channel(g, albedo, render, variance, frame, render_size,
+                    ratio: float, firefly: bool):
+    """Full demodulate + 4-level a-trous + remodulate for one channel.
+
+    g: render-res resampled G-buffer; albedo: FULL-res albedo texture.
+    """
+    albedo_r = resample_deferred(albedo, render_size, frame["number"], ratio)
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
     normal = normalize(g["normal"])
     gradient = g["depth_gradient"]
     instance = g["instance_material"][..., 0]
 
-    irr, var = demodulate(gbuf, albedo, render, variance, frame, render_size)
+    irr, var = demodulate(albedo_r, render, variance, render_size)
 
     center_k = float(ATROUS_KERNEL[1, 1])
     for step in _STEPS:
-        lum0 = luminance(irr)
         bad_center = ~jnp.all(jnp.isfinite(irr), -1) | jnp.any(irr > F32_MAX, -1)
         c_irr = jnp.where(bad_center[..., None], 0.0, irr)
         sum_irr = c_irr * center_k
@@ -156,6 +143,5 @@ def denoise_channel(gbuf, albedo, render, variance, frame, render_size,
                                 * new_irr, new_irr)
         irr = new_irr
 
-    alb = albedo[diy, dix]
-    out = jnp.concatenate([irr, jnp.ones(render_size + (1,))], -1) * alb
+    out = jnp.concatenate([irr, jnp.ones(render_size + (1,))], -1) * albedo_r
     return jnp.where(valid[..., None], out, 0.0)

@@ -143,29 +143,86 @@ def finalize_w(r, target_luminance):
     return out
 
 
-def gather_reservoir(r, iy, ix, valid):
-    """Load reservoirs at integer coords [.., 2]; invalid -> zero reservoir."""
+# ---------------------------------------------------------------------------
+# Packed layout: ALL fields in one [H,W,28] tensor so cross-pixel
+# gathers/scatters are ONE row-gather instead of 12 (TPU gather cost is
+# per-row, not per-byte — measured 24ns/row regardless of width). This is
+# the tensor analog of the reference's packed 64-byte reservoir struct
+# (light.wgsl:35-43).
+# ---------------------------------------------------------------------------
+
+_PACK_SPEC = (
+    ("radiance", 4), ("random", 4), ("visible_position", 4),
+    ("visible_normal", 3), ("sample_position", 4), ("sample_normal", 3),
+    ("count", 1), ("lifetime", 1), ("w", 1), ("w_sum", 1), ("w2_sum", 1),
+    ("visible_instance", 1),
+)
+PACKED_WIDTH = sum(n for _, n in _PACK_SPEC)  # 28
+
+
+def pack_reservoir(r):
+    parts = []
+    for k, n in _PACK_SPEC:
+        a = r[k]
+        if k == "visible_instance":
+            a = a.astype(jnp.float32)
+        if a.ndim == 2:
+            a = a[..., None]
+        parts.append(a)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_reservoir(t):
     out = {}
-    for k, a in r.items():
-        g = a[iy, ix]
-        m = valid[..., None] if g.ndim == iy.ndim + 1 else valid
-        out[k] = jnp.where(m, g, jnp.zeros_like(g) if a.dtype != jnp.int32 else -1)
+    o = 0
+    for k, n in _PACK_SPEC:
+        a = t[..., o : o + n]
+        if n == 1:
+            a = a[..., 0]
+        if k == "visible_instance":
+            a = a.astype(jnp.int32)
+        out[k] = a
+        o += n
     return out
+
+
+def gather_reservoir_packed(packed, iy, ix, valid):
+    """One flat row-gather of the packed tensor; invalid -> zero reservoir
+    (visible_instance -1)."""
+    h, w, f = packed.shape
+    flat = packed.reshape(h * w, f)
+    idx = (iy * w + ix).reshape(-1)
+    g = jnp.take(flat, idx, axis=0).reshape(iy.shape + (f,))
+    g = jnp.where(valid[..., None], g, 0.0)
+    r = unpack_reservoir(g)
+    r["visible_instance"] = jnp.where(valid, r["visible_instance"], -1)
+    return r
+
+
+def gather_reservoir(r, iy, ix, valid):
+    return gather_reservoir_packed(pack_reservoir(r), iy, ix, valid)
+
+
+def scatter_reservoir_packed(dst_packed, iy, ix, src, mask):
+    """Packed-tensor variant: dst stays packed across the frame."""
+    h, w, f = dst_packed.shape
+    dp = dst_packed.reshape(h * w, f)
+    sp = pack_reservoir(src).reshape(-1, f)
+    idx = jnp.where(mask, iy * w + ix, h * w + 1).reshape(-1)
+    return dp.at[idx].set(sp, mode="drop").reshape(h, w, f)
 
 
 def scatter_reservoir(dst, iy, ix, src, mask):
     """dst[iy, ix] = src where mask — the reference's cross-pixel
     previous-spatial invalidation scatter (light.wgsl:1092-1095,
-    1199-1202). Out-of-range handled by caller via mask; masked lanes are
-    redirected to a dummy out-of-bounds index (drop semantics)."""
+    1199-1202). One flat row-scatter on the packed tensor; masked lanes are
+    routed out of bounds (drop semantics)."""
     h, w = dst["count"].shape
-    # jax drops out-of-bounds scatter updates; route masked-off lanes there.
-    oy = jnp.where(mask, iy, h + 1)
-    ox = jnp.where(mask, ix, w + 1)
-    out = {}
-    for k in dst:
-        out[k] = dst[k].at[oy, ox].set(src[k], mode="drop")
-    return out
+    dp = pack_reservoir(dst).reshape(h * w, PACKED_WIDTH)
+    sp = pack_reservoir(src).reshape(-1, PACKED_WIDTH)
+    idx = jnp.where(mask, iy * w + ix, h * w + 1).reshape(-1)
+    out = dp.at[idx].set(sp, mode="drop")
+    return unpack_reservoir(out.reshape(h, w, PACKED_WIDTH))
 
 
 def check_previous_reservoir(r, s):

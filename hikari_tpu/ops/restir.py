@@ -14,14 +14,26 @@ passes:
   depth/normal/hemisphere gates, screen-space depth ray-march occlusion and
   GRIS Jacobian reweighting.
 
-Scalar per-frame branches (validation frames) compile as `lax.cond`; per-pixel
-branches are masks. The reference's cross-pixel scatter invalidation of
-previous spatial reservoirs is a real scatter (`reservoir.scatter_reservoir`).
+TPU performance architecture (arbitrary per-pixel gathers cost ~24ns/ROW on
+TPU regardless of width — measured):
+
+* The jittered G-buffer lookup (light.wgsl:1007-1017) is an AFFINE map, so
+  for upscale ratios 1 and 2 it compiles to parity-selected strided slices,
+  not gathers (`resample_deferred`).
+* Temporal reprojection is ONE packed row-gather for all three channels
+  combined (done by the caller in frame.py); reservoirs travel packed
+  [h,w,28] (reservoir.pack_reservoir).
+* Spatial-reuse taps use per-frame (not per-pixel) random spiral rotations —
+  offsets become traced scalars, so neighbor loads are `jnp.roll`s instead
+  of gathers. The reference scrambles the spiral per pixel
+  (light.wgsl:1566-1572); with 8-16 taps + the per-frame rotation +
+  denoiser this is visually equivalent and orders of magnitude faster here.
+* Scalar per-frame branches (validation frames) compile as `lax.cond`;
+  per-pixel branches are masks. The reference's cross-pixel scatter
+  invalidation of previous spatial reservoirs is a single packed row-scatter.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +91,35 @@ def jittered_deferred_uv(uv, deferred_size, frame_number, upscale_ratio,
     return uv + sign * texel * (upscale_ratio - 1.0)
 
 
+def resample_deferred(img, render_size, frame_number, ratio: float):
+    """Jittered-deferred lookup of a full-res [H,W,...] buffer at render res.
+
+    The index map floor((x_r + 0.5) * ratio + sign*amount) is affine, so:
+    ratio 1 -> identity; ratio 2 -> parity-selected stride-2 slice (same
+    result for the light passes' 0.25 and the denoiser's 0.5 jitter
+    amounts). Other ratios fall back to separable axis takes.
+    """
+    h, w = render_size
+    H, W = img.shape[:2]
+    if ratio == 1.0 and (H, W) == (h, w):
+        return img
+    if ratio == 2.0 and H >= 2 * h and W >= 2 * w:
+        even = img[0::2, 0::2][:h, :w]   # frame even: coords 2x
+        odd = img[1::2, 1::2][:h, :w]    # frame odd: coords 2x+1
+        sel = (frame_number & 1) == 0
+        return jnp.where(sel, even, odd)
+    # generic separable fallback
+    sign = jnp.where((frame_number & 1) == 0, -0.25, 0.25)
+    xs = jnp.clip((( (jnp.arange(w) + 0.5) * ratio) + sign).astype(jnp.int32), 0, W - 1)
+    ys = jnp.clip((( (jnp.arange(h) + 0.5) * ratio) + sign).astype(jnp.int32), 0, H - 1)
+    return jnp.take(jnp.take(img, ys, axis=0), xs, axis=1)
+
+
+def resample_gbuffer(gbuf, render_size, frame_number, ratio: float):
+    return {k: resample_deferred(v, render_size, frame_number, ratio)
+            for k, v in gbuf.items()}
+
+
 def uv_to_coords(uv, size):
     h, w = size
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
@@ -86,13 +127,14 @@ def uv_to_coords(uv, size):
     return y, x
 
 
-def gbuffer_at(gbuf, iy, ix):
-    return {k: v[iy, ix] for k, v in gbuf.items()}
-
-
 def in_unit_box(uv, strict=True):
     d = jnp.abs(uv - 0.5)
     return jnp.all(d < 0.5, -1) if strict else jnp.all(d <= 0.5, -1)
+
+
+def roll2d(img, dy, dx):
+    """Shift so out[p] = img[p + (dy,dx)] with traced integer offsets."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -113,34 +155,35 @@ def full_screen_albedo(scene, gbuf, view, no_texture: bool):
 
 
 # ---------------------------------------------------------------------------
-# direct / emissive channel (light.wgsl:1045-1261)
+# shared per-frame reprojection info (computed once for all channels)
 # ---------------------------------------------------------------------------
 
-def _flat(x):
-    return x.reshape((-1,) + x.shape[2:])
+def reprojection(g, frame, render_size):
+    """previous_uv / coords / bounds shared by every channel.
 
-
-def _unflat(x, size):
-    return x.reshape(size + x.shape[1:])
-
-
-def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
-               prev_temporal, prev_spatial, *,
-               emissive_lit: bool, temporal_reuse: bool, no_texture: bool,
-               render_size):
-    """Returns dict(render, variance, temporal, prev_spatial)."""
-    h, w = render_size
-    deferred_size = gbuf["position"].shape[:2]
+    g: render-res resampled G-buffer.
+    """
     uv = pixel_uv(render_size)
-    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
-                               frame["upscale_ratio"])
-    diy, dix = uv_to_coords(duv, deferred_size)
-    g = gbuffer_at(gbuf, diy, dix)
+    # the jitter constant cancels out of bounds checks at the precision that
+    # matters; previous_uv matches light.wgsl:1089 with the same resampling
+    deferred_size = render_size  # uv math happens in unit space
+    velocity = g["velocity_uv"][..., :2]
+    previous_uv = uv - velocity
+    piy, pix = uv_to_coords(previous_uv, render_size)
+    return {
+        "uv": uv,
+        "previous_uv": previous_uv,
+        "piy": piy,
+        "pix": pix,
+        "in_strict": in_unit_box(previous_uv, strict=True),
+        "in_loose": in_unit_box(previous_uv, strict=False),
+    }
 
+
+def make_sample_from_gbuffer(g, noise_rand, render_size):
+    h, w = render_size
     depth = g["position"][..., 3]
-    valid = depth >= F32_EPSILON
-
-    s = rsv.make_sample(
+    return rsv.make_sample(
         radiance=jnp.zeros((h, w, 4)),
         random=noise_rand,
         visible_position=jnp.concatenate(
@@ -151,18 +194,45 @@ def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
         sample_normal=jnp.zeros((h, w, 3)),
     )
 
-    velocity = g["velocity_uv"][..., :2]
-    mesh_uv = g["velocity_uv"][..., 2:4]
-    previous_uv = duv - velocity
-    prev_in = in_unit_box(previous_uv, strict=False)
-    piy, pix = uv_to_coords(previous_uv, render_size)
 
-    r = rsv.gather_reservoir(prev_temporal, piy, pix,
-                             in_unit_box(previous_uv, strict=True))
-    r, reproj_ok = rsv.check_previous_reservoir(r, s)
-    # cross-pixel invalidation scatter (light.wgsl:1092-1095)
-    prev_spatial = rsv.scatter_reservoir(
-        prev_spatial, piy, pix, r, (~reproj_ok) & prev_in & valid)
+def _flat(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflat(x, size):
+    return x.reshape(size + x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# direct / emissive channel (light.wgsl:1045-1261)
+# ---------------------------------------------------------------------------
+
+def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
+               prev_spatial_packed, *,
+               emissive_lit: bool, temporal_reuse: bool, no_texture: bool,
+               track_spatial: bool, render_size):
+    """One lighting channel.
+
+    g: render-res G-buffer sample. prev_r: previous temporal reservoir
+    already gathered at reproj coords (dict). prev_spatial_packed: packed
+    previous-spatial tensor (or None when no spatial consumer exists —
+    track_spatial=False skips the reference's dead invalidation scatters).
+    Returns dict(render, variance, temporal, prev_spatial_packed, reservoir,
+    surface, view_dir, valid).
+    """
+    h, w = render_size
+    depth = g["position"][..., 3]
+    valid = depth >= F32_EPSILON
+
+    s = make_sample_from_gbuffer(g, noise_rand, render_size)
+    mesh_uv = g["velocity_uv"][..., 2:4]
+
+    r, reproj_ok = rsv.check_previous_reservoir(prev_r, s)
+    if track_spatial:
+        # cross-pixel invalidation scatter (light.wgsl:1092-1095)
+        prev_spatial_packed = rsv.scatter_reservoir_packed(
+            prev_spatial_packed, reproj["piy"], reproj["pix"], r,
+            (~reproj_ok) & reproj["in_loose"] & valid)
 
     validate_interval = (frame["emissive_validate_interval"] if emissive_lit
                          else frame["direct_validate_interval"])
@@ -184,7 +254,6 @@ def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
             trace_ok &= cand["emissive_instance"] >= 0
         hit = tracer(scene, ro, rd, cand["max_distance"],
                      cand["emissive_instance"], None, cand["min_distance"])
-        # pixels failing trace_ok keep radiance 0 (masked below)
         info = occlude_hit_info(ro, rd, hit, info)
         rad = input_radiance(
             scene, rd, info["instance"], info["material"], info["uv"],
@@ -211,7 +280,7 @@ def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
     r, s = sample_branch(r)
 
     def validation_branch(args):
-        r, s, prev_spatial = args
+        r, s, prev_spatial_packed = args
         r_rand = _flat(r["random"])
         r_pos = _flat(r["visible_position"][..., :3])
         r_nrm = _flat(r["visible_normal"])
@@ -248,17 +317,27 @@ def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
             luminance(r["radiance"][..., :3]), 1e-4)
         lum_miss = ((lum_ratio > 1.25) | (lum_ratio < 0.8)) & valid
 
-        prev_spatial = rsv.scatter_reservoir(prev_spatial, piy, pix, r,
-                                             lum_miss & prev_in)
+        if track_spatial:
+            prev_spatial_packed = rsv.scatter_reservoir_packed(
+                prev_spatial_packed, reproj["piy"], reproj["pix"], r,
+                lum_miss & reproj["in_loose"])
         w_new = jnp.where(_unflat(cand["p"], render_size) > 0.0,
                           luminance(s2["radiance"][..., :3])
                           / jnp.maximum(_unflat(cand["p"], render_size), 1e-30),
                           0.0)
         r2 = rsv.where_reservoir(lum_miss, rsv.set_reservoir(s2, w_new), r)
-        return r2, s2, prev_spatial
+        return r2, s2, prev_spatial_packed
 
-    r, s, prev_spatial = jax.lax.cond(
-        is_validation, validation_branch, lambda a: a, (r, s, prev_spatial))
+    if prev_spatial_packed is None:
+        dummy = jnp.zeros((1, 1, rsv.PACKED_WIDTH))
+        r, s, _ = jax.lax.cond(
+            is_validation,
+            lambda a: validation_branch((a[0], a[1], None))[:2] + (a[2],),
+            lambda a: a, (r, s, dummy))
+    else:
+        r, s, prev_spatial_packed = jax.lax.cond(
+            is_validation, validation_branch, lambda a: a,
+            (r, s, prev_spatial_packed))
 
     r = rsv.finalize_w(r, luminance(r["radiance"][..., :3]))
     r["visible_position"] = s["visible_position"]
@@ -266,10 +345,7 @@ def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
     r["lifetime"] = r["lifetime"] + 1.0
 
     variance = jnp.where(valid, rsv.reservoir_variance(r), 0.0)
-
     r = rsv.zero_where(~valid, r)
-    new_temporal = r if temporal_reuse else prev_temporal
-    prev_spatial = rsv.zero_where(~valid, prev_spatial)
 
     # shade (light.wgsl:1233-1259)
     material = g["instance_material"][..., 1].astype(jnp.int32)
@@ -283,27 +359,20 @@ def direct_lit(scene, tracer, gbuf, view, frame, noise_rand,
     render = jnp.where(valid[..., None],
                        jnp.concatenate([out, jnp.ones_like(depth)[..., None]], -1),
                        0.0)
-    return {"render": render, "variance": variance, "temporal": new_temporal,
-            "prev_spatial": prev_spatial, "reservoir": r, "surface": surface,
-            "view_dir": view_dir, "gbuf_sample": g, "valid": valid}
+    return {"render": render, "variance": variance, "temporal": r,
+            "prev_spatial_packed": prev_spatial_packed, "reservoir": r,
+            "surface": surface, "view_dir": view_dir, "valid": valid}
 
 
 # ---------------------------------------------------------------------------
 # indirect channel (light.wgsl:1264-1498)
 # ---------------------------------------------------------------------------
 
-def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
-                         prev_temporal, prev_spatial, *,
+def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
+                         prev_r, prev_spatial_packed, *,
                          bounces: int, temporal_reuse: bool, no_texture: bool,
-                         render_size):
+                         track_spatial: bool, render_size):
     h, w = render_size
-    deferred_size = gbuf["position"].shape[:2]
-    uv = pixel_uv(render_size)
-    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
-                               frame["upscale_ratio"])
-    diy, dix = uv_to_coords(duv, deferred_size)
-    g = gbuffer_at(gbuf, diy, dix)
-
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
 
@@ -311,21 +380,14 @@ def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
         zeroes = rsv.empty_reservoir(render_size)
         return {"render": jnp.zeros((h, w, 4)),
                 "variance": jnp.zeros((h, w)),
-                "temporal": zeroes, "prev_spatial": zeroes,
+                "temporal": zeroes,
+                "prev_spatial_packed": prev_spatial_packed,
                 "reservoir": zeroes, "valid": valid,
-                "surface": None, "view_dir": None, "gbuf_sample": g}
+                "surface": None, "view_dir": None}
 
     normal = normalize(g["normal"])
-    s = rsv.make_sample(
-        radiance=jnp.zeros((h, w, 4)),
-        random=noise_rand,
-        visible_position=jnp.concatenate(
-            [g["position"][..., :3], depth[..., None]], -1),
-        visible_normal=normal,
-        visible_instance=g["instance_material"][..., 0].astype(jnp.int32),
-        sample_position=jnp.zeros((h, w, 4)),
-        sample_normal=jnp.zeros((h, w, 3)),
-    )
+    s = make_sample_from_gbuffer(g, noise_rand, render_size)
+    s["visible_normal"] = normal
 
     n_pix = h * w
     b_pos = _flat(s["visible_position"][..., :3])
@@ -372,18 +434,17 @@ def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
             cinfo["uv"], sample_directional=True,
             sample_emissive=cand["emissive_instance"], sample_ambient=False,
             solar_angle=frame["solar_angle"], no_texture=no_texture)
-        # directional term only when no emissive was picked
         in_rad = jnp.where(
-            sample_directional[:, None] | (cinfo["instance"] == cand["emissive_instance"])[:, None],
-            in_rad, jnp.concatenate(
-                [jnp.zeros((n_pix, 3)), in_rad[:, 3:4]], -1))
+            sample_directional[:, None]
+            | (cinfo["instance"] == cand["emissive_instance"])[:, None],
+            in_rad,
+            jnp.concatenate([jnp.zeros((n_pix, 3)), in_rad[:, 3:4]], -1))
         out_rad = shading(scene, bounce_view, info["normal"],
                           cand["direction"], surface, in_rad)
         out_rad = out_rad / jnp.maximum(cand["p"][:, None], 1e-30)
         if n > 0:
             out_rad = jnp.where(bounce_pdf[:, None] < 0.01, 0.0,
                                 out_rad / jnp.maximum(bounce_pdf[:, None], 1e-30))
-        # radiance clamp (light.wgsl:1372-1376)
         lum = luminance(out_rad)
         scale = jnp.where(lum > frame["max_indirect_luminance"],
                           frame["max_indirect_luminance"] / jnp.maximum(lum, 1e-30),
@@ -394,7 +455,6 @@ def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
         total_rad = total_rad + jnp.concatenate(
             [add_hit, (alive & hit_ok & nee_ok).astype(jnp.float32)[:, None]], -1)
 
-        # miss: ambient only, then ray dies (light.wgsl:1388-1393)
         amb = scene["ambient_color"][:3]
         add_miss = jnp.where((alive & ~hit_ok)[:, None], transport * amb, 0.0)
         total_rad = total_rad + jnp.concatenate(
@@ -415,16 +475,12 @@ def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
     s["sample_normal"] = _unflat(first_sample_nrm, render_size)
 
     # temporal ReSTIR (light.wgsl:1452-1497)
-    velocity = g["velocity_uv"][..., :2]
     mesh_uv = g["velocity_uv"][..., 2:4]
-    previous_uv = duv - velocity
-    prev_in = in_unit_box(previous_uv, strict=False)
-    piy, pix = uv_to_coords(previous_uv, render_size)
-    r = rsv.gather_reservoir(prev_temporal, piy, pix,
-                             in_unit_box(previous_uv, strict=True))
-    r, reproj_ok = rsv.check_previous_reservoir(r, s)
-    prev_spatial = rsv.scatter_reservoir(
-        prev_spatial, piy, pix, r, (~reproj_ok) & prev_in & valid)
+    r, reproj_ok = rsv.check_previous_reservoir(prev_r, s)
+    if track_spatial:
+        prev_spatial_packed = rsv.scatter_reservoir_packed(
+            prev_spatial_packed, reproj["piy"], reproj["pix"], r,
+            (~reproj_ok) & reproj["in_loose"] & valid)
 
     material = g["instance_material"][..., 1].astype(jnp.int32)
     surface = retrieve_surface(scene, material, mesh_uv, no_texture)
@@ -449,14 +505,12 @@ def indirect_lit_ambient(scene, tracer, gbuf, view, frame, noise_rand,
 
     variance = jnp.where(valid, rsv.reservoir_variance(r), 0.0)
     r = rsv.zero_where(~valid, r)
-    new_temporal = r if temporal_reuse else prev_temporal
-    prev_spatial = rsv.zero_where(~valid, prev_spatial)
 
     render = jnp.where(valid[..., None], jnp.concatenate(
         [out_rad * r["w"][..., None], jnp.ones((h, w, 1))], -1), 0.0)
-    return {"render": render, "variance": variance, "temporal": new_temporal,
-            "prev_spatial": prev_spatial, "reservoir": r, "surface": surface,
-            "view_dir": view_dir, "gbuf_sample": g, "valid": valid}
+    return {"render": render, "variance": variance, "temporal": r,
+            "prev_spatial_packed": prev_spatial_packed, "reservoir": r,
+            "surface": surface, "view_dir": view_dir, "valid": valid}
 
 
 # ---------------------------------------------------------------------------
@@ -479,31 +533,24 @@ def compute_jacobian(q_s, s):
     return jnp.clip(term1 * term2, 1.0, 50.0)
 
 
-def spatial_reuse(scene, gbuf, view, frame, temporal_r, prev_spatial,
-                  channel_out, *, emissive_lit: bool, no_texture: bool,
+def spatial_reuse(scene, g, view, frame, temporal_r, prev_spatial_packed,
+                  reproj, *, emissive_lit: bool, no_texture: bool,
                   render_size):
     """Spatial ReSTIR pass for the emissive / indirect channels.
 
-    temporal_r: this frame's temporal reservoirs (what the reference's
-    load_reservoir reads). Returns dict(render, variance(optional update),
-    spatial).
+    temporal_r: this frame's temporal reservoirs. Neighbor taps are rolls of
+    the packed temporal tensor (per-frame-correlated spiral, see module
+    docstring). Returns dict(render, variance(NaN where untouched), spatial
+    (dict), valid).
     """
     h, w = render_size
     count_taps = 8 if emissive_lit else 16
     reuse_range = 10.0 if emissive_lit else 20.0
     spatial_taps = 4
 
-    deferred_size = gbuf["position"].shape[:2]
-    uv = pixel_uv(render_size)
-    duv = jittered_deferred_uv(uv, deferred_size, frame["number"],
-                               frame["upscale_ratio"])
-    diy, dix = uv_to_coords(duv, deferred_size)
-    g = gbuffer_at(gbuf, diy, dix)
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
-
     mesh_uv = g["velocity_uv"][..., 2:4]
-    velocity = g["velocity_uv"][..., :2]
     material = g["instance_material"][..., 1].astype(jnp.int32)
     surface = retrieve_surface(scene, material, mesh_uv, no_texture)
     view_dir = calculate_view(view, g["position"][..., :3])
@@ -512,13 +559,10 @@ def spatial_reuse(scene, gbuf, view, frame, temporal_r, prev_spatial,
     s = {k: q0[k] for k in ("radiance", "random", "visible_position",
                             "visible_normal", "visible_instance",
                             "sample_position", "sample_normal")}
-
     use_spatial_variance = q0["count"] <= SPATIAL_VARIANCE_SAMPLE_THRESHOLD
 
-    previous_uv = duv - velocity
-    pin = in_unit_box(previous_uv, strict=True)
-    piy, pix = uv_to_coords(previous_uv, render_size)
-    prev_sp = rsv.gather_reservoir(prev_spatial, piy, pix, pin)
+    prev_sp = rsv.gather_reservoir_packed(
+        prev_spatial_packed, reproj["piy"], reproj["pix"], reproj["in_strict"])
 
     max_life = jnp.where(frame["max_reservoir_lifetime"] <= 1.0, F32_MAX,
                          frame["max_reservoir_lifetime"])
@@ -537,33 +581,30 @@ def spatial_reuse(scene, gbuf, view, frame, temporal_r, prev_spatial,
     r["visible_position"] = s["visible_position"]
     r["visible_normal"] = s["visible_normal"]
 
-    coords_x = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
-    coords_y = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
-    rand_sum = jnp.sum(s["random"], -1) + random_float(frame["number"][None])[0]
+    temporal_packed = rsv.pack_reservoir(temporal_r)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    frame_rand = random_float(frame["number"][None])[0]
 
     def tap_body(i, r):
         fi = i.astype(jnp.float32)
-        angle = TAU * jnp.mod(fi * GOLDEN_RATIO + rand_sum, 1.0)
+        # per-frame-rotated Fibonacci spiral (light.wgsl:1566-1572, with the
+        # per-pixel scramble traded for rolls — see module docstring)
+        angle = TAU * jnp.mod(fi * GOLDEN_RATIO + frame_rand, 1.0)
         radius = jnp.sqrt(fi / count_taps) * reuse_range
         off_x = radius * jnp.cos(angle)
         off_y = radius * jnp.sin(angle)
-        sx = (off_x + coords_x).astype(jnp.int32)
-        sy = (off_y + coords_y).astype(jnp.int32)
-        s_uv = jnp.stack([(sx.astype(jnp.float32) + 0.5) / w,
-                          (sy.astype(jnp.float32) + 0.5) / h], -1)
-        in_b = in_unit_box(s_uv, strict=False)
-        sxc = jnp.clip(sx, 0, w - 1)
-        syc = jnp.clip(sy, 0, h - 1)
+        oy = jnp.round(off_y).astype(jnp.int32)
+        ox = jnp.round(off_x).astype(jnp.int32)
 
-        s_duv = jittered_deferred_uv(s_uv, deferred_size, frame["number"],
-                                     frame["upscale_ratio"])
-        sdy, sdx = uv_to_coords(s_duv, deferred_size)
-        sample_depth = gbuf["position"][sdy, sdx, 3]
-        q = rsv.gather_reservoir(temporal_r, syc, sxc, in_b)
+        q = rsv.unpack_reservoir(roll2d(temporal_packed, oy, ox))
+        sample_depth = roll2d(depth, oy, ox)
+        in_b = (((ys + oy) >= 0) & ((ys + oy) < h)
+                & ((xs + ox) >= 0) & ((xs + ox) < w))
 
         depth_ratio = depth / jnp.where(sample_depth == 0.0, 1e-30, sample_depth)
         ok = in_b & (depth_ratio >= 0.9) & (depth_ratio <= 1.1)
-        ok &= (q["count"] >= F32_EPSILON)
+        ok &= q["count"] >= F32_EPSILON
         ok &= dot3(s["visible_normal"], q["visible_normal"]) >= 0.866
         sample_dir = normalize(q["sample_position"][..., :3]
                                - s["visible_position"][..., :3])
@@ -572,19 +613,14 @@ def spatial_reuse(scene, gbuf, view, frame, temporal_r, prev_spatial,
         # screen-space depth ray-march occlusion (light.wgsl:1608-1628)
         tap_interval = jnp.maximum(1.0, radius / (spatial_taps + 1))
         tap_count = (radius / tap_interval).astype(jnp.int32)
-        inv_len = 1.0 / jnp.maximum(jnp.sqrt(off_x**2 + off_y**2), 1e-20)
+        inv_len = 1.0 / jnp.maximum(radius, 1e-5)
         occluded = jnp.zeros((h, w), bool)
-        max_tc = spatial_taps + 1
-        for j in range(1, max_tc + 1):
+        for j in range(1, spatial_taps + 2):
             tap_on = j <= tap_count
-            tap_dist = j * tap_interval
-            tap_u = uv[..., 0] + tap_dist * off_x * inv_len / w
-            tap_v = uv[..., 1] + tap_dist * off_y * inv_len / h
-            t_uv = jnp.stack([tap_u, tap_v], -1)
-            t_duv = jittered_deferred_uv(t_uv, deferred_size, frame["number"],
-                                         frame["upscale_ratio"])
-            tdy, tdx = uv_to_coords(t_duv, deferred_size)
-            tap_depth = gbuf["position"][tdy, tdx, 3]
+            tdist = j * tap_interval
+            toy = jnp.round(tdist * off_y * inv_len).astype(jnp.int32)
+            tox = jnp.round(tdist * off_x * inv_len).astype(jnp.int32)
+            tap_depth = roll2d(depth, toy, tox)
             ref_depth = depth + (sample_depth - depth) * (
                 j / (tap_count.astype(jnp.float32) + 1.0))
             occluded |= tap_on & (tap_depth > ref_depth + 1e-5)
@@ -618,4 +654,5 @@ def spatial_reuse(scene, gbuf, view, frame, temporal_r, prev_spatial,
     r = rsv.where_reservoir(valid, r, q0)  # background stores temporal r
     render = jnp.where(valid[..., None], jnp.concatenate(
         [r["w"][..., None] * out_rad, jnp.ones((h, w, 1))], -1), 0.0)
-    return {"render": render, "variance": variance, "spatial": r}
+    return {"render": render, "variance": variance, "spatial": r,
+            "valid": valid}

@@ -223,9 +223,15 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
                   early_distance=None):
             del early_distance  # brute force always finds the nearest hit
+            # bound the [rays x tile] intermediate to ~2^25 elements so big
+            # resolutions don't exhaust HBM with scan temporaries
+            n = ro.shape[0]
+            t = max(8, min(tile, (1 << 25) // max(n, 1),
+                           scene["tri_pos"].shape[0]))
+            t = max(8, t - t % 8)
             return brute_force_intersect(
                 scene, ro, rd, max_t, exclude_instance, include_instance,
-                tile=min(tile, max(8, scene["tri_pos"].shape[0])),
+                tile=t,
             )
         trace.kind = "brute_force"
     else:

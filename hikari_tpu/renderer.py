@@ -21,11 +21,23 @@ from hikari_tpu.ops.trace import make_tracer
 
 
 class Renderer:
+    """Owns the per-camera pipeline.
+
+    The post-overlay chain mirrors the reference's graph tail
+    (OVERLAY -> BLOOM -> TONEMAPPING -> FXAA -> UPSCALING, lib.rs:342-365):
+    for HDR cameras the overlay un-maps Reinhard, bloom runs on HDR, then
+    the final tonemap re-maps; `bloom_settings`/`fxaa` control the Bevy-node
+    equivalents.
+    """
+
     def __init__(self, scene: Union[Scene, GpuScene], camera: Camera,
                  settings: Optional[HikariSettings] = None,
-                 brute_force_max: int = 4096):
+                 brute_force_max: int = 4096,
+                 bloom_settings=None, fxaa: bool = False):
         self.settings = settings or HikariSettings()
         self.camera = camera
+        self.bloom_settings = bloom_settings
+        self.fxaa = fxaa
         self.host_scene = scene if isinstance(scene, Scene) else None
         self.gpu_scene = scene.compile() if isinstance(scene, Scene) else scene
         self.scene_dev = self.gpu_scene.as_pytree()
@@ -34,11 +46,22 @@ class Renderer:
         self.no_texture = self.gpu_scene.num_textures == 0
         self.tracer = make_tracer(self.gpu_scene.num_triangles,
                                   brute_force_max=brute_force_max)
-        self._frame_fn = jax.jit(build_render_frame(
-            self.settings, self.full_size, self.tracer, self.no_texture))
-        self.carry = init_carry(self.full_size, self.settings)
+        # donate the carry: the previous frame's reservoirs/history buffers
+        # are dead once the new carry exists (the functional analog of the
+        # reference's in-place ping-pong buffers)
+        self._frame_fn = jax.jit(
+            build_render_frame(self.settings, self.full_size, self.tracer,
+                               self.no_texture),
+            donate_argnums=(4,))
+        self.carry = self._fresh_carry()
         self._frame_index = 0
         self._prev_view_initialized = False
+
+    def _fresh_carry(self):
+        # distinct buffers everywhere: the carry is donated each frame, and
+        # aliased/deduped constants would trip XLA's donation checks
+        return jax.tree.map(lambda a: a + jnp.zeros_like(a),
+                            init_carry(self.full_size, self.settings))
 
     # ------------------------------------------------------------------
     def _views(self):
@@ -46,7 +69,7 @@ class Renderer:
         return {k: jnp.asarray(v) for k, v in vu.items()}
 
     def reset(self):
-        self.carry = init_carry(self.full_size, self.settings)
+        self.carry = self._fresh_carry()
         self._frame_index = 0
         self._prev_view_initialized = False
 
@@ -64,14 +87,55 @@ class Renderer:
         """
         view = self._views()
         if not self._prev_view_initialized:
-            self.carry["prev_view_proj"] = view["view_proj"]
-            self.carry["prev_inverse_view_proj"] = view["inverse_view_proj"]
+            self.carry["prev_view_proj"] = view["view_proj"] + 0.0
+            self.carry["prev_inverse_view_proj"] = view["inverse_view_proj"] + 0.0
             self._prev_view_initialized = True
         frame = make_frame_uniform(self.settings, self._frame_index)
         image, albedo, self.carry = self._frame_fn(
             self.scene_dev, view, frame, self.noise, self.carry)
         self._frame_index += 1
-        return overlay_compose(image, albedo, self.camera.hdr)
+        return self._post_overlay(image, albedo)
+
+    def _post_overlay(self, image, albedo):
+        """Overlay + the Bevy core-node tail (bloom/tonemap/fxaa)."""
+        out = overlay_compose(image, albedo, self.camera.hdr)
+        if self.camera.hdr:
+            from hikari_tpu.ops.bloom import BloomSettings, bloom
+            from hikari_tpu.utils.math import reinhard_luminance
+            import jax.numpy as jnp
+
+            if self.bloom_settings is not None:
+                out = bloom(out, self.bloom_settings)
+            rgb = reinhard_luminance(out[..., :3])
+            out = jnp.concatenate([rgb, out[..., 3:4]], -1)
+        if self.fxaa:
+            from hikari_tpu.ops.fxaa import fxaa as fxaa_op
+
+            out = fxaa_op(out)
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpoint/resume of the persistent frame state (SURVEY.md §5: the
+    # carry pytree is trivially serializable — used for reproducible
+    # goldens and warm restarts)
+    def save_state(self, path: str):
+        import pickle
+
+        state = {
+            "carry": jax.tree.map(np.asarray, self.carry),
+            "frame_index": self._frame_index,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_state(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.carry = jax.tree.map(jnp.asarray, state["carry"])
+        self._frame_index = state["frame_index"]
+        self._prev_view_initialized = True
 
     def render(self, frames: int = 1) -> np.ndarray:
         """Render `frames` frames, return the last as [H,W,4] float numpy."""
@@ -93,3 +157,37 @@ class Renderer:
         if img is None:
             img = np.asarray(self.render_frame())
         Image.fromarray(self.to_srgb_u8(img)).save(path)
+
+    # ------------------------------------------------------------------
+    def render_dissection(self, out_dir: Optional[str] = None):
+        """Render one frame returning (and optionally dumping) per-pass
+        intermediates — the analog of the reference's
+        assets/screenshots/dissection/ debugging images."""
+        if not hasattr(self, "_debug_fn"):
+            self._debug_fn = jax.jit(build_render_frame(
+                self.settings, self.full_size, self.tracer,
+                self.no_texture, debug=True))
+        view = self._views()
+        if not self._prev_view_initialized:
+            self.carry["prev_view_proj"] = view["view_proj"] + 0.0
+            self.carry["prev_inverse_view_proj"] = view["inverse_view_proj"] + 0.0
+            self._prev_view_initialized = True
+        frame = make_frame_uniform(self.settings, self._frame_index)
+        image, albedo, self.carry, dbg = self._debug_fn(
+            self.scene_dev, view, frame, self.noise, self.carry)
+        self._frame_index += 1
+        dbg = {k: np.asarray(v) for k, v in dbg.items()}
+        dbg["final"] = np.asarray(self._post_overlay(image, albedo))
+        if out_dir:
+            import os
+
+            from hikari_tpu.utils.image import save_png
+
+            os.makedirs(out_dir, exist_ok=True)
+            for k, v in dbg.items():
+                if v.ndim == 2:
+                    v = np.repeat(v[..., None], 3, axis=-1) / max(v.max(), 1e-6)
+                if "normal" in k:
+                    v = v * 0.5 + 0.5
+                save_png(os.path.join(out_dir, f"{k}.png"), v)
+        return dbg
