@@ -127,8 +127,8 @@ class Scene:
         return len(self.instances) - 1
 
     # ------------------------------------------------------------------
-    def compile(self) -> "GpuScene":
-        return compile_scene(self)
+    def compile(self, universal=None) -> "GpuScene":
+        return compile_scene(self, universal)
 
 
 def _pad_to(x: np.ndarray, n: int, fill=0):
@@ -156,9 +156,124 @@ class GpuScene:
 
         return {k: jnp.asarray(v) for k, v in self.arrays.items()}
 
+    # ------------------------------------------------------------------
+    def update_transforms(self, scene: "Scene") -> "GpuScene":
+        """Fast per-frame path for animated scenes (the analog of the
+        reference's per-frame TLAS rebuild, instance.rs:352-371): keep
+        topology, retransform the moved instances' world triangles, refit
+        the BVH node AABBs (vectorized O(n log n)), refresh instance /
+        motion / emissive tables. Alias tables are scale-invariant under
+        rigid motion (instance.rs:387-395's scale-keyed cache), so they are
+        reused; call compile() instead when scales change.
+        """
+        visible = [inst for inst in scene.instances if inst.visible]
+        assert len(visible) == self.num_instances, "topology changed: use compile()"
+        a = self.arrays
+        tri_pos = a["tri_pos"].copy()
+        tri_nrm = a["tri_normal"].copy()
+        offsets = a["inst_prim_offset"]
+        counts = a["inst_prim_count"]
+        inst_model = []
+        inst_motion = []
+        for iid, inst in enumerate(visible):
+            model = np.asarray(inst.transform, np.float64)
+            prev = (model if inst.prev_transform is None
+                    else np.asarray(inst.prev_transform, np.float64))
+            inst_model.append(model.astype(np.float32))
+            inst_motion.append((prev @ np.linalg.inv(model)).astype(np.float32))
+            old = a["inst_model"][iid].astype(np.float64)
+            if np.allclose(model, old, atol=1e-9):
+                continue
+            rel = (model @ np.linalg.inv(old))
+            o, c = offsets[iid], counts[iid]
+            sl = tri_pos[o : o + c].reshape(-1, 3)
+            tri_pos[o : o + c] = (sl @ rel[:3, :3].T + rel[:3, 3]).reshape(-1, 3, 3).astype(np.float32)
+            itn = np.linalg.inv(rel[:3, :3]).T
+            nsl = tri_nrm[o : o + c].reshape(-1, 3) @ itn.T
+            nsl /= np.maximum(np.linalg.norm(nsl, axis=-1, keepdims=True), 1e-20)
+            tri_nrm[o : o + c] = nsl.reshape(-1, 3, 3).astype(np.float32)
 
-def compile_scene(scene: Scene) -> GpuScene:
-    """Scene -> flat world-space SoA arrays + acceleration structures."""
+        bvh2 = refit_bvh(self.bvh, tri_pos[: self.num_triangles].min(axis=1),
+                         tri_pos[: self.num_triangles].max(axis=1))
+
+        arrays = dict(a)
+        arrays["tri_pos"] = tri_pos
+        arrays["tri_normal"] = tri_nrm
+        arrays["inst_model"] = np.asarray(inst_model, np.float32)
+        arrays["inst_motion"] = np.asarray(inst_motion, np.float32).reshape(-1, 16)
+        arrays["bvh_min"] = bvh2.node_min
+        arrays["bvh_max"] = bvh2.node_max
+        is_leaf = (bvh2.entry & np.uint32(0x80000000)) != 0
+        payload = np.where(is_leaf, bvh2.entry & np.uint32(0x7FFFFFFF), bvh2.entry)
+        arrays["bvh_packed"] = np.concatenate([
+            bvh2.node_min, bvh2.node_max,
+            is_leaf.astype(np.float32)[:, None],
+            payload.astype(np.float32)[:, None],
+            bvh2.exit.astype(np.float32)[:, None],
+        ], axis=1).astype(np.float32)
+        arrays["tri_pos_flat"] = np.concatenate([
+            tri_pos.reshape(len(tri_pos), 9),
+            a["tri_instance"].astype(np.float32)[:, None],
+        ], axis=1).astype(np.float32)
+        arrays["tri_attr"] = np.concatenate([
+            tri_nrm.reshape(len(tri_nrm), 9),
+            a["tri_uv"].reshape(len(tri_nrm), 6),
+            a["tri_instance"].astype(np.float32)[:, None],
+            a["tri_material"].astype(np.float32)[:, None],
+        ], axis=1).astype(np.float32)
+        # refresh instance AABBs + emissive positions/radii from moved tris
+        n_i = self.num_instances
+        amin = np.empty((n_i, 3), np.float32)
+        amax = np.empty((n_i, 3), np.float32)
+        for iid in range(n_i):
+            o, c = offsets[iid], counts[iid]
+            amin[iid] = tri_pos[o : o + c].reshape(-1, 3).min(axis=0)
+            amax[iid] = tri_pos[o : o + c].reshape(-1, 3).max(axis=0)
+        arrays["inst_aabb_min"] = amin
+        arrays["inst_aabb_max"] = amax
+        if self.num_emissives:
+            em_inst = a["em_instance"]
+            lo, hi = amin[em_inst], amax[em_inst]
+            old_extra = (a["em_radius"]
+                         - 0.5 * np.linalg.norm(
+                             a["inst_aabb_max"][em_inst]
+                             - a["inst_aabb_min"][em_inst], axis=-1))
+            arrays["em_position"] = (0.5 * (lo + hi)).astype(np.float32)
+            arrays["em_radius"] = (0.5 * np.linalg.norm(hi - lo, axis=-1)
+                                   + old_extra).astype(np.float32)
+            em_pos = arrays["em_position"]
+            em_r = arrays["em_radius"][:, None]
+            em_bvh = build_bvh(em_pos - em_r, em_pos + em_r, method="lbvh")
+            eleaf = (em_bvh.entry & np.uint32(0x80000000)) != 0
+            epay = np.where(eleaf, em_bvh.entry & np.uint32(0x7FFFFFFF),
+                            em_bvh.entry)
+            arrays["em_bvh_packed"] = np.concatenate([
+                em_bvh.node_min, em_bvh.node_max,
+                eleaf.astype(np.float32)[:, None],
+                epay.astype(np.float32)[:, None],
+                em_bvh.exit.astype(np.float32)[:, None],
+            ], axis=1).astype(np.float32)
+            arrays["em_packed"] = np.concatenate([
+                a["em_rgba"], arrays["em_position"],
+                arrays["em_radius"][:, None],
+                a["em_instance"].astype(np.float32)[:, None],
+                a["em_alias_offset"].astype(np.float32)[:, None],
+                a["em_alias_count"].astype(np.float32)[:, None],
+                a["em_surface_area"][:, None],
+            ], axis=1).astype(np.float32)
+        return dataclasses.replace(self, arrays=arrays, bvh=bvh2)
+
+
+def compile_scene(scene: Scene, universal=None) -> GpuScene:
+    """Scene -> flat world-space SoA arrays + acceleration structures.
+
+    `universal`: HikariUniversalSettings; disabling
+    build_mesh_acceleration_structure skips BVH construction (tracers fall
+    back to brute force — the reference's debug toggles, lib.rs:375-397).
+    """
+    from hikari_tpu.config import HikariUniversalSettings
+
+    universal = universal or HikariUniversalSettings()
     tri_pos, tri_nrm, tri_uv = [], [], []
     tri_inst, tri_mat = [], []
     inst_aabb_min, inst_aabb_max = [], []
@@ -210,7 +325,10 @@ def compile_scene(scene: Scene) -> GpuScene:
     # --- world BVH over all triangles
     aabb_min = tri_pos.min(axis=1)
     aabb_max = tri_pos.max(axis=1)
-    bvh = build_bvh(aabb_min, aabb_max)
+    if universal.build_mesh_acceleration_structure:
+        bvh = build_bvh(aabb_min, aabb_max)
+    else:  # debug toggle: single-leaf chain (forces brute-force engine)
+        bvh = build_bvh(aabb_min[:1], aabb_max[:1])
 
     # --- emissive list + per-instance alias tables (instance.rs:381-419)
     em_rgba, em_pos, em_radius, em_instance = [], [], [], []
@@ -299,6 +417,64 @@ def compile_scene(scene: Scene) -> GpuScene:
         "dir_color": scene.directional_light.gpu_color(),
         "ambient_color": scene.ambient_light.gpu_color(),
     }
+
+    # ---- packed per-row tables (ONE lookup per consumer on device; see
+    # utils.math.table_gather for why)
+    arrays["tri_attr"] = np.concatenate([
+        arrays["tri_normal"].reshape(num_pad, 9),
+        arrays["tri_uv"].reshape(num_pad, 6),
+        arrays["tri_instance"].astype(np.float32)[:, None],
+        arrays["tri_material"].astype(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    m = len(scene.materials)
+    arrays["mat_packed"] = np.concatenate([
+        arrays["mat_base_color"].reshape(m, 4),
+        arrays["mat_emissive"].reshape(m, 4),
+        arrays["mat_perceptual_roughness"][:, None],
+        arrays["mat_metallic"][:, None],
+        arrays["mat_reflectance"][:, None],
+        arrays["mat_base_color_texture"].astype(np.float32)[:, None],
+        arrays["mat_emissive_texture"].astype(np.float32)[:, None],
+        arrays["mat_metallic_roughness_texture"].astype(np.float32)[:, None],
+        arrays["mat_occlusion_texture"].astype(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    # per-instance motion matrix: prev_model @ inv(model) maps current world
+    # position back to the previous frame's (for velocity; replaces the
+    # per-pixel matrix inverse)
+    motion = np.stack([
+        np.asarray(p, np.float64) @ np.linalg.inv(np.asarray(c, np.float64))
+        for p, c in zip(inst_prev_model, inst_model)
+    ]).astype(np.float32)
+    arrays["inst_motion"] = motion.reshape(len(visible), 16)
+    arrays["em_packed"] = np.concatenate([
+        arrays["em_rgba"],
+        arrays["em_position"],
+        arrays["em_radius"][:, None],
+        arrays["em_instance"].astype(np.float32)[:, None],
+        arrays["em_alias_offset"].astype(np.float32)[:, None],
+        arrays["em_alias_count"].astype(np.float32)[:, None],
+        arrays["em_surface_area"][:, None],
+    ], axis=1).astype(np.float32)
+    arrays["alias_packed"] = np.stack([
+        arrays["alias_prob"], arrays["alias_index"].astype(np.float32)
+    ], axis=1).astype(np.float32)
+    arrays["inst_prim_offset_f"] = arrays["inst_prim_offset"].astype(np.float32)
+    # packed BVH nodes + triangle rows: one row-gather per traversal step.
+    # float layout [N,9]: min(3), max(3), is_leaf, payload (prim or entry
+    # index — both < 2^24, exact in f32), exit
+    is_leaf = (bvh.entry & np.uint32(0x80000000)) != 0
+    payload = np.where(is_leaf, bvh.entry & np.uint32(0x7FFFFFFF), bvh.entry)
+    arrays["bvh_packed"] = np.concatenate([
+        bvh.node_min, bvh.node_max,
+        is_leaf.astype(np.float32)[:, None],
+        payload.astype(np.float32)[:, None],
+        bvh.exit.astype(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    # 9 vertex floats + instance id (for exclude/include masks mid-traversal)
+    arrays["tri_pos_flat"] = np.concatenate([
+        arrays["tri_pos"].reshape(num_pad, 9),
+        arrays["tri_instance"].astype(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
     if num_emissives:
         arrays.update(
             em_bvh_min=em_bvh.node_min,
@@ -313,6 +489,19 @@ def compile_scene(scene: Scene) -> GpuScene:
             em_bvh_entry=np.zeros(1, np.int32),
             em_bvh_exit=np.ones(1, np.int32),
         )
+
+    em_is_leaf = (arrays["em_bvh_entry"].view(np.uint32)
+                  & np.uint32(0x80000000)) != 0
+    em_payload = np.where(
+        em_is_leaf,
+        arrays["em_bvh_entry"].view(np.uint32) & np.uint32(0x7FFFFFFF),
+        arrays["em_bvh_entry"].view(np.uint32))
+    arrays["em_bvh_packed"] = np.concatenate([
+        arrays["em_bvh_min"], arrays["em_bvh_max"],
+        em_is_leaf.astype(np.float32)[:, None],
+        em_payload.astype(np.float32)[:, None],
+        arrays["em_bvh_exit"].astype(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
 
     return GpuScene(
         arrays=arrays,

@@ -112,15 +112,14 @@ def prepass(scene, tracer, view, prev_view, frame_number, size,
     )
 
     # velocity: uv(now) - uv(prev) with previous per-instance transform
-    # (prepass.wgsl fragment: clip_to_uv(view_proj*P) - clip_to_uv(prev_view_proj*P_prev))
+    # (prepass.wgsl fragment: clip_to_uv(view_proj*P) - clip_to_uv(prev_view_proj*P_prev));
+    # inst_motion = prev_model @ inv(model), precomputed per instance
+    from hikari_tpu.utils.math import table_gather
+
     inst_safe = jnp.maximum(inst, 0)
-    model = scene["inst_model"][inst_safe]
-    prev_model = scene["inst_prev_model"][inst_safe]
-    inv_model = jnp.linalg.inv(model)
-    local = jnp.einsum("hwij,hwj->hwi",
-                       inv_model,
-                       jnp.concatenate([wpos, jnp.ones_like(wpos[..., :1])], -1))
-    prev_wpos = jnp.einsum("hwij,hwj->hwi", prev_model, local)
+    motion = table_gather(scene["inst_motion"], inst_safe).reshape(h, w, 4, 4)
+    prev_wpos = jnp.einsum("hwij,hwj->hwi", motion,
+                           jnp.concatenate([wpos, jnp.ones_like(wpos[..., :1])], -1))
     prev_wpos = prev_wpos[..., :3] / prev_wpos[..., 3:4]
 
     uv_now = clip_to_uv(jnp.einsum("ij,hwj->hwi", view["view_proj"],

@@ -47,15 +47,13 @@ def empty_hit_info(position, direction):
 def walk_emissive_bvh(scene, position, rand_x, exclude_instance):
     """Streaming uniform pick among emissives containing `position`
     (light.wgsl:624-657). Returns (picked emissive idx [-1 none], count)."""
+    from hikari_tpu.utils.math import table_gather
+
     n = position.shape[0]
-    node_count = scene["em_bvh_entry"].shape[0]
-    entry_a = scene["em_bvh_entry"]
-    exit_a = scene["em_bvh_exit"]
-    nmin_a = scene["em_bvh_min"]
-    nmax_a = scene["em_bvh_max"]
-    em_instance = scene["em_instance"]
-    em_pos = scene["em_position"]
-    em_radius = scene["em_radius"]
+    node_count = scene["em_bvh_packed"].shape[0]
+    nodes = scene["em_bvh_packed"]
+    em_packed = scene["em_packed"]  # rgba 0:4, pos 4:7, radius 7, inst 8,
+    #                                 alias off 9, alias count 10, area 11
 
     def cond(state):
         return jnp.any(state[0] < node_count)
@@ -63,27 +61,31 @@ def walk_emissive_bvh(scene, position, rand_x, exclude_instance):
     def body(state):
         idx, picked, count, rand_1d = state
         safe = jnp.minimum(idx, node_count - 1)
-        entry = entry_a[safe]
-        exit_ = exit_a[safe]
+        node = table_gather(nodes, safe)
         active = idx < node_count
-        is_leaf = entry < 0
-        em_idx = jnp.where(is_leaf, entry & jnp.int32(0x7FFFFFFF), 0)
+        is_leaf = node[:, 6] > 0.5
+        em_idx = jnp.where(is_leaf, jnp.round(node[:, 7]).astype(jnp.int32), 0)
+        exit_ = jnp.round(node[:, 8]).astype(jnp.int32)
 
+        em_row = table_gather(em_packed, em_idx)
         # leaf AABB = emitter sphere bounds (instance.rs:405-409)
-        c = em_pos[em_idx]
-        r = em_radius[em_idx][:, None]
-        lo = jnp.where(is_leaf[:, None], c - r, nmin_a[safe])
-        hi = jnp.where(is_leaf[:, None], c + r, nmax_a[safe])
+        c = em_row[:, 4:7]
+        r = em_row[:, 7:8]
+        lo = jnp.where(is_leaf[:, None], c - r, node[:, 0:3])
+        hi = jnp.where(is_leaf[:, None], c + r, node[:, 3:6])
         inside = jnp.all((position > lo) & (position < hi), axis=-1)
 
-        take_leaf = active & is_leaf & inside & (em_instance[em_idx] != exclude_instance)
+        em_instance_i = jnp.round(em_row[:, 8]).astype(jnp.int32)
+        take_leaf = active & is_leaf & inside & (em_instance_i != exclude_instance)
         new_rand = jnp.mod(rand_1d + GOLDEN_RATIO, 1.0)
         rand_1d = jnp.where(take_leaf, new_rand, rand_1d)
         count = jnp.where(take_leaf, count + 1.0, count)
         take = take_leaf & (rand_1d < 1.0 / jnp.maximum(count, 1.0))
         picked = jnp.where(take, em_idx, picked)
 
-        next_idx = jnp.where(is_leaf, exit_, jnp.where(inside, entry, exit_))
+        entry_idx = jnp.round(node[:, 7]).astype(jnp.int32)
+        next_idx = jnp.where(is_leaf, exit_,
+                             jnp.where(inside, entry_idx, exit_))
         idx = jnp.where(active, next_idx, idx)
         return idx, picked, count, rand_1d
 
@@ -128,24 +130,32 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
     if not sample_emissive:
         return candidate, info
 
+    from hikari_tpu.utils.math import table_gather
+
     picked, count = walk_emissive_bvh(scene, position, rand4[:, 0], exclude_instance)
     has_pick = picked >= 0
     em = jnp.maximum(picked, 0)
+    em_row = table_gather(scene["em_packed"], em)
 
     # alias-table triangle pick (light.wgsl:662-669)
-    a_count = scene["em_alias_count"][em]
-    a_offset = scene["em_alias_offset"][em]
+    a_count_f = em_row[:, 10]
+    a_count = jnp.round(a_count_f).astype(jnp.int32)
+    a_offset = jnp.round(em_row[:, 9]).astype(jnp.int32)
     alias_index = jnp.minimum(
-        (rand4[:, 0] * a_count.astype(jnp.float32)).astype(jnp.int32),
+        (rand4[:, 0] * a_count_f).astype(jnp.int32),
         jnp.maximum(a_count - 1, 0),
     )
     slot = a_offset + alias_index
-    take_alias = rand4[:, 1] < scene["alias_prob"][slot]
-    prim_local = jnp.where(take_alias, scene["alias_index"][slot], alias_index)
-    em_inst = scene["em_instance"][em]
-    prim = scene["inst_prim_offset"][em_inst] + prim_local
+    alias_row = table_gather(scene["alias_packed"], slot)
+    take_alias = rand4[:, 1] < alias_row[:, 0]
+    prim_local = jnp.where(take_alias,
+                           jnp.round(alias_row[:, 1]).astype(jnp.int32),
+                           alias_index)
+    em_inst = jnp.round(em_row[:, 8]).astype(jnp.int32)
+    prim = (jnp.round(table_gather(scene["inst_prim_offset_f"], em_inst))
+            .astype(jnp.int32) + prim_local)
 
-    v = scene["tri_pos"][prim]  # [N,3,3] (already world space)
+    v = table_gather(scene["tri_pos_flat"], prim)[:, :9].reshape(-1, 3, 3)
     b = sample_uniform_triangle_barycentric(rand4[:, 2:4])
     p = (b[:, 0:1] * v[:, 0] + b[:, 1:2] * v[:, 1]
          + (1.0 - b[:, 0:1] - b[:, 1:2]) * v[:, 2])
@@ -162,7 +172,7 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
 
     delta = pinfo["position"][:, :3] - position
     d2 = dot3(delta, delta)
-    denom = jnp.abs(dot3(rd, pinfo["normal"]) * scene["em_surface_area"][em])
+    denom = jnp.abs(dot3(rd, pinfo["normal"]) * em_row[:, 11])
     p_em = d2 / jnp.maximum(denom, 1e-20) / jnp.maximum(count, 1.0)
 
     sel = probe_ok

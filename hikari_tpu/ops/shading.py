@@ -72,22 +72,28 @@ def retrieve_surface(scene, material_idx, uv, no_texture: bool):
     occlusion = tex.r, roughness comes from perceptual_roughness only.
     Returns dict {base_color[...,4], emissive[...,4], reflectance, metallic,
     roughness, occlusion}. material_idx < 0 (miss) returns material 0's
-    values — callers mask.
+    values — callers mask. One packed lookup serves all fields
+    (mat_packed: base 0:4, emissive 4:8, roughness 8, metallic 9,
+    reflectance 10, texture ids 11:15).
     """
+    from hikari_tpu.utils.math import table_gather
+
     m = jnp.maximum(material_idx, 0)
-    base_color = scene["mat_base_color"][m]
-    emissive = scene["mat_emissive"][m]
-    metallic = scene["mat_metallic"][m]
+    row = table_gather(scene["mat_packed"], m)
+    base_color = row[..., 0:4]
+    emissive = row[..., 4:8]
+    roughness = perceptual_roughness_to_roughness(row[..., 8])
+    metallic = row[..., 9]
+    reflectance = row[..., 10]
     occlusion = jnp.ones_like(metallic)
-    roughness = perceptual_roughness_to_roughness(scene["mat_perceptual_roughness"][m])
-    reflectance = scene["mat_reflectance"][m]
 
     if not no_texture:
-        base_color = base_color * sample_atlas(scene, scene["mat_base_color_texture"][m], uv)
-        emissive = emissive * sample_atlas(scene, scene["mat_emissive_texture"][m], uv)
-        mrt = scene["mat_metallic_roughness_texture"][m]
+        tid = jnp.round(row[..., 11:15]).astype(jnp.int32)
+        base_color = base_color * sample_atlas(scene, tid[..., 0], uv)
+        emissive = emissive * sample_atlas(scene, tid[..., 1], uv)
+        mrt = tid[..., 2]
         metallic = metallic * jnp.where(mrt >= 0, sample_atlas(scene, mrt, uv)[..., 0], 1.0)
-        occ = scene["mat_occlusion_texture"][m]
+        occ = tid[..., 3]
         occlusion = jnp.where(occ >= 0, sample_atlas(scene, occ, uv)[..., 0], 1.0)
 
     return {
@@ -101,10 +107,14 @@ def retrieve_surface(scene, material_idx, uv, no_texture: bool):
 
 
 def retrieve_emissive(scene, material_idx, uv, no_texture: bool):
+    from hikari_tpu.utils.math import table_gather
+
     m = jnp.maximum(material_idx, 0)
-    emissive = scene["mat_emissive"][m]
+    row = table_gather(scene["mat_packed"], m)
+    emissive = row[..., 4:8]
     if not no_texture:
-        emissive = emissive * sample_atlas(scene, scene["mat_emissive_texture"][m], uv)
+        tid = jnp.round(row[..., 12]).astype(jnp.int32)
+        emissive = emissive * sample_atlas(scene, tid, uv)
     return emissive
 
 

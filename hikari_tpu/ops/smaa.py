@@ -5,19 +5,20 @@ the 4 pixels of every output quad (current sample + reprojected history with
 clip rejection), and `extrapolate` fills the other diagonal by differential
 blending of N/E/S/W luminance gradients.
 
-Dense formulation: instead of per-thread scattered writes to 2 output pixels
-(smaa.wgsl:224-228 — SURVEY.md §7 hard part 3), we compute the four quad
-planes P00/P11 (pass 1) and P01/P10 (pass 2) as [rh,rw] tensors and
-interleave them into the [2rh,2rw] output — scatter-free.
+TPU formulation (scatter- and gather-free where possible):
+* writes to the 2 diagonal output pixels (smaa.wgsl:224-228) become quad
+  planes P00/P11/P01/P10 interleaved at the end — no scatters;
+* all taps at `previous_output_uv` (+static biases) are AFFINE maps of the
+  pixel grid -> parity-selected slices/shifts;
+* only the velocity-reprojected history taps need real warps — one warp
+  window over the previous tone output, one over the previous G-buffer.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from hikari_tpu.ops.filters import bilinear_sample, gather4, nearest_sample
-from hikari_tpu.ops.restir import pixel_uv
-from hikari_tpu.ops.taa import nearest_velocity
+from hikari_tpu.ops.warp import build_warp, warp_reduce
 from hikari_tpu.utils.math import (
     TAU,
     clip_towards_aabb_center,
@@ -29,110 +30,202 @@ from hikari_tpu.utils.math import (
 _BIAS = 2.5
 
 
-def _quad_uv(size_out, parity):
-    """uv of output pixels 2c + parity for each input pixel c."""
-    oh, ow = size_out
-    rh, rw = oh // 2, ow // 2
-    x = (2.0 * jnp.arange(rw, dtype=jnp.float32) + parity + 0.5) / ow
-    y = (2.0 * jnp.arange(rh, dtype=jnp.float32) + parity + 0.5) / oh
-    u, v = jnp.meshgrid(x, y)
-    return jnp.stack([u, v], -1)
+def np_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
+
+
+
+def _shift(img, dy, dx):
+    h, w = img.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def _parity_sample(full, parity, ky: int = 0, kx: int = 0):
+    """full [H,W,C] sampled at full-res coords (2c + parity + k) for each
+    render-res pixel c. parity is a traced 0/1 scalar; k static."""
+    h2, w2 = full.shape[:2]
+    rh, rw = h2 // 2, w2 // 2
+
+    def sl(j):
+        ys = jnp.clip(jnp.arange(rh) * 2 + j + ky, 0, h2 - 1)
+        xs = jnp.clip(jnp.arange(rw) * 2 + j + kx, 0, w2 - 1)
+        return full[ys][:, xs]
+
+    return jnp.where(parity == 0, sl(0), sl(1))
 
 
 def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
-    """Pass 1 + 2; returns [2rh, 2rw, 4]."""
+    """Pass 1 + 2; returns [2rh, 2rw, 4]. gbuf/prev_gbuf at output (full)
+    res; tone/prev_tone at render res."""
     rh, rw = render_size
-    out_size = (2 * rh, 2 * rw)
-    texel = jnp.array([1.0 / out_size[1], 1.0 / out_size[0]], jnp.float32)
-    uv = pixel_uv(render_size)
+    oh, ow = 2 * rh, 2 * rw
+    texel = jnp.array([1.0 / ow, 1.0 / oh], jnp.float32)
 
-    cur_j = jnp.where((frame["number"] & 1) == 0, 0.0, 1.0)
-    prev_j = 1.0 - cur_j
+    cur_j = jnp.where((frame["number"] & 1) == 0, 0, 1).astype(jnp.int32)
+    prev_j = 1 - cur_j
 
-    current_color = nearest_sample(tone, uv)[..., :3]
+    current_color = tone[..., :3]
 
-    cur_uv = _quad_uv(out_size, cur_j)
-    prev_uv_out = _quad_uv(out_size, prev_j)
+    # ---- velocity at previous_output_uv with 4-diagonal max-depth dilation
+    # (all affine: parity slices + static shifts of the full-res G-buffer)
+    def pos_at(ky, kx):
+        return _parity_sample(gbuf["position"], prev_j, ky, kx)
 
-    velocity = nearest_velocity(gbuf, prev_uv_out,
-                                jnp.array([1.0 / gbuf["position"].shape[1],
-                                           1.0 / gbuf["position"].shape[0]]))
-    prev_reproj = prev_uv_out - velocity
-    prev_color = nearest_sample(prev_tone, prev_reproj)[..., :3]
+    depth0 = pos_at(0, 0)[..., 3]
+    d_pp = _parity_sample(gbuf["position"], prev_j, 1, 1)[..., 3]
+    d_np = _parity_sample(gbuf["position"], prev_j, 1, -1)[..., 3]
+    d_pn = _parity_sample(gbuf["position"], prev_j, -1, 1)[..., 3]
+    d_nn = _parity_sample(gbuf["position"], prev_j, -1, -1)[..., 3]
+    depths = jnp.stack([d_pp, d_np, d_pn, d_nn], -1)
+    max_depth = jnp.max(depths, -1)
+    is_max = depths == max_depth[..., None]
+    ox = jnp.sum(is_max * jnp.array([1.0, -1.0, 1.0, -1.0]), -1).astype(jnp.int32)
+    oy = jnp.sum(is_max * jnp.array([1.0, 1.0, -1.0, -1.0]), -1).astype(jnp.int32)
+    dilate = depth0 < max_depth
+    vel = _parity_sample(gbuf["velocity_uv"], prev_j)[..., :2]
+    for sy_ in (-1, 1):
+        for sx_ in (-1, 1):
+            cand = _parity_sample(gbuf["velocity_uv"], prev_j, sy_, sx_)[..., :2]
+            take = dilate & (oy == sy_) & (ox == sx_)
+            vel = jnp.where(take[..., None], cand, vel)
+    velocity = vel
 
-    boundary_miss = jnp.any(jnp.abs(prev_reproj - 0.5) > 0.5, -1)
-    cur_instance = nearest_sample(gbuf["instance_material"], prev_uv_out)[..., 0]
-    cur_depth = nearest_sample(gbuf["position"], prev_uv_out)[..., 3]
+    # previous_output_uv (output space) and reprojected source coords
+    cy = (2.0 * jnp.arange(rh, dtype=jnp.float32)[:, None].repeat(rw, 1)
+          + prev_j.astype(jnp.float32) + 0.5)
+    cx = (2.0 * jnp.arange(rw, dtype=jnp.float32)[None, :].repeat(rh, 0)
+          + prev_j.astype(jnp.float32) + 0.5)
+    reproj_uy = cy / oh - velocity[..., 1]
+    reproj_ux = cx / ow - velocity[..., 0]
+    boundary_miss = ((reproj_ux < 0.0) | (reproj_ux > 1.0)
+                     | (reproj_uy < 0.0) | (reproj_uy > 1.0))
+
+    # warp windows: previous tone (render res) and previous G-buffer (full)
+    tone_sy = reproj_uy * rh - 0.5
+    tone_sx = reproj_ux * rw - 0.5
+    ctx_tone = build_warp(prev_tone[..., :3], tone_sy, tone_sx)
+    prev_color = warp_reduce(ctx_tone, "nearest")
+
+    pg = jnp.concatenate([prev_gbuf["position"][..., 3:4],
+                          prev_gbuf["instance_material"][..., 0:1],
+                          prev_gbuf["velocity_uv"][..., :2]], -1)
+    ctx_pg = build_warp(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5)
+
+    cur_instance = _parity_sample(gbuf["instance_material"], prev_j)[..., 0]
+    cur_depth = depth0
     depth_miss = cur_depth == 0.0
     instance_miss = jnp.zeros_like(depth_miss)
 
     biases = [(0.0, 0.0), (_BIAS, _BIAS), (-_BIAS, _BIAS),
               (_BIAS, -_BIAS), (-_BIAS, -_BIAS)]
     for bx, by in biases:
-        buv = prev_reproj + jnp.array([bx, by]) * texel
-        pdep = gather4(prev_gbuf["position"][..., 3], buv)
-        ratio = jnp.where(pdep == 0.0, 1.0,
-                          cur_depth[..., None] / jnp.where(pdep == 0.0, 1.0, pdep))
-        miss_i = jnp.any(ratio < 0.95, -1)
+        miss_i = jnp.zeros_like(depth_miss)
+        for ky in (-0.49, 0.49):
+            for kx in (-0.49, 0.49):
+                pdep = warp_reduce(ctx_pg, "nearest",
+                                   offset=(by + ky, bx + kx),
+                                   channels=(0, 1))[..., 0]
+                ratio = jnp.where(pdep == 0.0, 1.0,
+                                  cur_depth / jnp.where(pdep == 0.0, 1.0, pdep))
+                miss_i |= ratio < 0.95
         depth_miss |= miss_i
-        pinst = nearest_sample(prev_gbuf["instance_material"], buv)[..., 0]
+        pinst = warp_reduce(ctx_pg, "nearest", offset=(by, bx),
+                            channels=(1, 2))[..., 0]
         instance_miss |= miss_i & (jnp.abs(pinst - cur_instance) > 1.0)
 
-    prev_velocity = nearest_sample(prev_gbuf["velocity_uv"], prev_reproj)[..., :2]
-    velocity_miss = jnp.sqrt(jnp.sum((velocity - prev_velocity) ** 2, -1)) > 1e-4
+    pvel = warp_reduce(ctx_pg, "nearest", channels=(2, 4))
+    velocity_miss = jnp.sqrt(jnp.sum((velocity - pvel) ** 2, -1)) > 1e-4
     need_clip = boundary_miss | ((depth_miss | instance_miss) & velocity_miss)
 
-    # pick the bias minimizing current-depth distance, 2x2 variance clip
+    # pick the bias minimizing current-depth distance (current buffer =
+    # affine taps), then 2x2 YCoCg variance clip from the current tone
     min_ds = jnp.full(render_size, 10.0)
-    uv_bias = jnp.zeros(render_size + (2,))
-    for bx, by in biases:
-        b = jnp.array([bx, by]) * texel
-        ds = gather4(gbuf["position"][..., 3], prev_uv_out + b)
-        dds = jnp.sqrt(jnp.sum((cur_depth[..., None] - ds) ** 2, -1))
+    best_bias = jnp.zeros(render_size, jnp.int32)
+    for bi, (bx, by) in enumerate(biases):
+        dds = jnp.zeros(render_size)
+        for ky in (0, 1):
+            for kx in (0, 1):
+                # gather4 corners of position.w at output coords 2c+prev_j+bias
+                iy = np_floor(by - 0.5) + ky
+                ix = np_floor(bx - 0.5) + kx
+                d = _parity_sample(gbuf["position"], prev_j, iy, ix)[..., 3]
+                dds = dds + (cur_depth - d) ** 2
+        dds = jnp.sqrt(dds)
         take = dds < min_ds
-        uv_bias = jnp.where(take[..., None], b, uv_bias)
+        best_bias = jnp.where(take, bi, best_bias)
         min_ds = jnp.minimum(min_ds, dds)
 
-    guv = prev_uv_out + uv_bias
-    cr = gather4(tone[..., 0], guv)
-    cg = gather4(tone[..., 1], guv)
-    cb = gather4(tone[..., 2], guv)
-    taps = [rgb_to_ycocg(jnp.stack([cr[..., i], cg[..., i], cb[..., i]], -1))
-            for i in range(4)]
+    # 2x2 quad of the current tone around previous_output_uv + bias:
+    # tone coord = c + (prev_j + 0.5 + bias)/2 - 0.5; corners static per
+    # (parity, bias)
     s_mm = rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0))
-    m1 = sum(taps)
-    m2 = sum(t * t for t in taps)
-    mean = m1 / 4.0
-    var = jnp.sqrt(jnp.maximum(m2 / 4.0 - mean * mean, 0.0))
-    clipped = ycocg_to_rgb(clip_towards_aabb_center(
-        rgb_to_ycocg(prev_color), s_mm, mean - var, mean + var))
+    clipped_variants = []
+    for bi, (bx, by) in enumerate(biases):
+        taps = []
+        for parity_case in (0, 1):
+            base_y = (parity_case + 0.5 + by) / 2.0 - 0.5
+            base_x = (parity_case + 0.5 + bx) / 2.0 - 0.5
+            y0 = int(np_floor(base_y))
+            x0 = int(np_floor(base_x))
+            quad = [rgb_to_ycocg(jnp.clip(
+                _shift(current_color, y0 + ky, x0 + kx), 0.0, 1.0))
+                for ky in (0, 1) for kx in (0, 1)]
+            taps.append(quad)
+        quad = [jnp.where(prev_j == 0, a, b) for a, b in zip(taps[0], taps[1])]
+        m1 = sum(quad)
+        m2 = sum(t * t for t in quad)
+        mean = m1 / 4.0
+        var = jnp.sqrt(jnp.maximum(m2 / 4.0 - mean * mean, 0.0))
+        clipped_variants.append(ycocg_to_rgb(clip_towards_aabb_center(
+            rgb_to_ycocg(prev_color), s_mm, mean - var, mean + var)))
+    clipped = clipped_variants[0]
+    for bi in range(1, len(biases)):
+        clipped = jnp.where((best_bias == bi)[..., None],
+                            clipped_variants[bi], clipped)
     prev_color = jnp.where(need_clip[..., None], clipped, prev_color)
 
     # sub-pixel velocity differential remix (smaa.wgsl:218-227)
     subpix = jnp.mod(velocity / (2.0 * texel), 1.0)
     blend = jnp.clip(-jnp.cos(jnp.maximum(subpix[..., 0], subpix[..., 1]) * TAU),
                      0.0, 1.0)
-    remix = bilinear_sample(tone, prev_uv_out)[..., :3]
+    # remix = linear sample of current tone at previous_output_uv:
+    # tone coord c + prev_j/2 - 0.25 -> two-tap blend, parity-selected
+    def remix_for(parity_case):
+        off = parity_case / 2.0 - 0.25
+        lo = int(np_floor(off))
+        frac = off - lo
+        a = _shift(current_color, lo, lo)
+        b_ = _shift(current_color, lo + 1, lo)
+        c_ = _shift(current_color, lo, lo + 1)
+        d_ = _shift(current_color, lo + 1, lo + 1)
+        return (a * (1 - frac) * (1 - frac) + c_ * frac * (1 - frac)
+                + b_ * (1 - frac) * frac + d_ * frac * frac)
+
+    remix = jnp.where(prev_j == 0, remix_for(0), remix_for(1))
     prev_color = prev_color + (remix - prev_color) * blend[..., None]
 
     one = jnp.ones(render_size + (1,))
     cur4 = jnp.concatenate([current_color, one], -1)
-    prev4 = jnp.concatenate([prev_color, one], -1)
+    prev4 = jnp.concatenate([jnp.clip(prev_color, 0.0, 1.0), one], -1)
 
     even_frame = (frame["number"] & 1) == 0
     p00 = jnp.where(even_frame, cur4, prev4)
     p11 = jnp.where(even_frame, prev4, cur4)
 
     # ---- extrapolate pass (smaa.wgsl:239-271)
-    def shift(img, dy, dx):
+    def qshift(img, dy, dx):
         return jnp.roll(img, (-dy, -dx), axis=(0, 1))
 
     t_c = p00
     b_c = p11
-    n_c = shift(p11, -1, 0)   # out[2c + (1,-1)] = P11 of quad row-1
-    e_c = shift(p00, 0, 1)    # out[2c + (2, 0)] = P00 of quad col+1
-    s_c = shift(p00, 1, 0)    # out[2c + (0, 2)] = P00 of quad row+1
-    w_c = shift(p11, 0, -1)   # out[2c + (-1,1)] = P11 of quad col-1
+    n_c = qshift(p11, -1, 0)
+    e_c = qshift(p00, 0, 1)
+    s_c = qshift(p00, 1, 0)
+    w_c = qshift(p11, 0, -1)
 
     dh = jnp.stack([luminance(jnp.abs(w_c[..., :3] - b_c[..., :3])),
                     luminance(jnp.abs(t_c[..., :3] - e_c[..., :3]))], -1)
@@ -149,9 +242,9 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     x_color = diff_blend(t_c, s_c, w_c, b_c)  # at 2c + (0,1)
     y_color = diff_blend(n_c, b_c, t_c, e_c)  # at 2c + (1,0)
 
-    # interleave quads: [rh, rw, 2, 2, 4] -> [2rh, 2rw, 4]
     quad = jnp.stack(
-        [jnp.stack([p00, y_color], axis=2),      # row 0: (x even, x odd)
-         jnp.stack([x_color, p11], axis=2)], axis=2)  # row 1
-    out = quad.transpose(0, 2, 1, 3, 4).reshape(2 * rh, 2 * rw, 4)
-    return out
+        [jnp.stack([p00, y_color], axis=2),
+         jnp.stack([x_color, p11], axis=2)], axis=2)
+    return quad.transpose(0, 2, 1, 3, 4).reshape(oh, ow, 4)
+
+

@@ -1,90 +1,136 @@
 """TAA "Jasmine" (taa.wgsl:75-170): velocity dilation via 4-neighbor max
-depth, 5-tap Catmull-Rom history resample, disocclusion tests (boundary /
+depth, Catmull-Rom history resample, disocclusion tests (boundary /
 depth-ratio / position-distance / velocity-distance) gating a 3x3 YCoCg
-variance clip, then blend mix(prev, curr, 0.1 / upscale_ratio)."""
+variance clip, then blend mix(prev, curr, 0.1 / upscale_ratio).
+
+TPU formulation: every *current-frame* tap is at a static offset -> static
+shifts; every *history* tap is at uv - velocity -> ONE shared warp window
+(ops.warp) serving the Catmull-Rom color fetch, the 5-bias depth-quad /
+position / velocity disocclusion probes. (The reference's 5-tap Catmull-Rom
+approximation becomes the exact 4x4 kernel here — same filter, full
+footprint.)
+"""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from hikari_tpu.ops.filters import (
-    bilinear_sample,
-    catmull_rom5,
-    gather4,
-    nearest_sample,
-)
-from hikari_tpu.ops.restir import pixel_uv
+from hikari_tpu.ops.warp import build_warp, warp_reduce
 from hikari_tpu.utils.math import (
     clip_towards_aabb_center,
     rgb_to_ycocg,
     ycocg_to_rgb,
 )
 
+_BIAS = 1.5
 
-def nearest_velocity(gbuf, uv, texel):
+
+def _shift(img, dy, dx):
+    """Static shift with clamp-to-edge (sampler address mode)."""
+    h, w = img.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def _resample_to(img, size):
+    if img.shape[:2] == size:
+        return img
+    from hikari_tpu.ops.filters import resize_bilinear
+
+    return resize_bilinear(img, size)
+
+
+def nearest_velocity(gbuf_pos, gbuf_vel, size):
     """Velocity dilation (taa.wgsl:56-73): take velocity from the
-    closest-depth pixel of the 4 diagonal neighbors."""
-    pos = gbuf["position"]
-    d_pp = nearest_sample(pos, uv + jnp.array([texel[0], texel[1]]))[..., 3]
-    d_np = nearest_sample(pos, uv + jnp.array([-texel[0], texel[1]]))[..., 3]
-    d_pn = nearest_sample(pos, uv + jnp.array([texel[0], -texel[1]]))[..., 3]
-    d_nn = nearest_sample(pos, uv + jnp.array([-texel[0], -texel[1]]))[..., 3]
+    closest-depth pixel among the 4 diagonal neighbors (static shifts)."""
+    depth = gbuf_pos[..., 3]
+    d_pp = _shift(depth, 1, 1)
+    d_np = _shift(depth, 1, -1)
+    d_pn = _shift(depth, -1, 1)
+    d_nn = _shift(depth, -1, -1)
     depths = jnp.stack([d_pp, d_np, d_pn, d_nn], -1)
     max_depth = jnp.max(depths, -1)
-    d0 = nearest_sample(pos, uv)[..., 3]
     is_max = depths == max_depth[..., None]
-    fx = jnp.sum(is_max * jnp.array([1.0, -1.0, 1.0, -1.0]), -1) * texel[0]
-    fy = jnp.sum(is_max * jnp.array([1.0, 1.0, -1.0, -1.0]), -1) * texel[1]
-    offset = jnp.where((d0 < max_depth)[..., None], jnp.stack([fx, fy], -1), 0.0)
-    return nearest_sample(gbuf["velocity_uv"], uv + offset)[..., :2]
-
-
-_BIAS_SCALE = 1.5
+    # offsets in pixels (x right, y down)
+    ox = jnp.sum(is_max * jnp.array([1.0, -1.0, 1.0, -1.0]), -1)
+    oy = jnp.sum(is_max * jnp.array([1.0, 1.0, -1.0, -1.0]), -1)
+    dilate = depth < max_depth
+    # velocity at the offset pixel: offsets are +-1 -> 9 static candidates;
+    # select via the (oy, ox) pair
+    vel = gbuf_vel[..., :2]
+    out = vel
+    for sy in (-1, 1):
+        for sx_ in (-1, 1):
+            cand = _shift(vel, sy, sx_)
+            take = dilate & (oy == sy) & (ox == sx_)
+            out = jnp.where(take[..., None], cand, out)
+    return out
 
 
 def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
-    """current: this frame's input at `size`; prev_taa: last frame's output."""
+    """current: this frame's input at `size`; prev_taa: last frame's output.
+    gbuf/prev_gbuf are FULL-res; `size` is the working (post-SMAA) size."""
     h, w = size
     texel = jnp.array([1.0 / w, 1.0 / h], jnp.float32)
-    uv = pixel_uv(size)
 
-    original = bilinear_sample(current, uv)  # same-size: == nearest
-    current_color = original[..., :3]
+    # resample G-buffer planes to the working size (uv-identity maps)
+    pos = _resample_to(gbuf["position"], size)
+    vel_tex = _resample_to(gbuf["velocity_uv"], size)
+    prev_pos = _resample_to(prev_gbuf["position"], size)
+    prev_vel = _resample_to(prev_gbuf["velocity_uv"], size)
 
-    velocity = nearest_velocity(gbuf, uv, texel)
-    previous_uv = uv - velocity
-    boundary_miss = jnp.any(jnp.abs(previous_uv - 0.5) > 0.5, -1)
+    current_color = current[..., :3]
+    alpha = current[..., 3:4]
 
-    cur_pd = nearest_sample(gbuf["position"], uv)
-    cur_depth = cur_pd[..., 3]
+    velocity = nearest_velocity(pos, vel_tex, size)
+
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0)
+    sy = ys - velocity[..., 1] * h - 0.5
+    sx = xs - velocity[..., 0] * w - 0.5
+    previous_uv_y = (ys / h) - velocity[..., 1]
+    previous_uv_x = (xs / w) - velocity[..., 0]
+    boundary_miss = ((previous_uv_x < 0.0) | (previous_uv_x > 1.0)
+                     | (previous_uv_y < 0.0) | (previous_uv_y > 1.0))
+
+    cur_depth = pos[..., 3]
     has_content = cur_depth > 0.0
     depth_miss = cur_depth == 0.0
     position_miss = cur_depth == 0.0
 
-    biases = [(0.0, 0.0), (_BIAS_SCALE, _BIAS_SCALE), (-_BIAS_SCALE, _BIAS_SCALE),
-              (_BIAS_SCALE, -_BIAS_SCALE), (-_BIAS_SCALE, -_BIAS_SCALE)]
+    # ONE warp window over all history buffers:
+    # prev_taa rgb (0:3), prev pos xyz+depth (3:7), prev velocity (7:9)
+    packed = jnp.concatenate([prev_taa[..., :3], prev_pos, prev_vel[..., :2]], -1)
+    ctx = build_warp(packed, sy, sx)
+
+    biases = [(0.0, 0.0), (_BIAS, _BIAS), (-_BIAS, _BIAS),
+              (_BIAS, -_BIAS), (-_BIAS, -_BIAS)]
     for bx, by in biases:
-        buv = previous_uv + jnp.array([bx, by]) * texel
-        pdepths = gather4(prev_gbuf["position"][..., 3], buv)
-        ratio = jnp.where(pdepths == 0.0, 1.0,
-                          cur_depth[..., None] / jnp.where(pdepths == 0.0, 1.0, pdepths))
-        has_content |= jnp.any(pdepths > 0.0, -1)
-        depth_miss |= jnp.any(ratio < 0.95, -1)
-        ppos = nearest_sample(prev_gbuf["position"], buv)[..., :3]
-        dist = jnp.sqrt(jnp.sum((cur_pd[..., :3] - ppos) ** 2, -1))
+        # depth quad (gather4) at the biased position: 4 bilinear corners
+        for cy in (-0.49, 0.49):
+            for cx in (-0.49, 0.49):
+                pdep = warp_reduce(ctx, "nearest", offset=(by + cy, bx + cx),
+                                   channels=(6, 7))[..., 0]
+                ratio = jnp.where(pdep == 0.0, 1.0,
+                                  cur_depth / jnp.where(pdep == 0.0, 1.0, pdep))
+                has_content |= pdep > 0.0
+                depth_miss |= ratio < 0.95
+        ppos = warp_reduce(ctx, "nearest", offset=(by, bx), channels=(3, 6))
+        dist = jnp.sqrt(jnp.sum((pos[..., :3] - ppos) ** 2, -1))
         position_miss |= dist > 0.5
 
-    prev_velocity = nearest_sample(prev_gbuf["velocity_uv"], previous_uv)[..., :2]
-    vdist = jnp.sqrt(jnp.sum((velocity - prev_velocity) ** 2, -1))
+    pvel = warp_reduce(ctx, "nearest", channels=(7, 9))
+    vdist = jnp.sqrt(jnp.sum((velocity - pvel) ** 2, -1))
     velocity_miss = vdist > 0.00005
 
-    prev_color = catmull_rom5(prev_taa[..., :3], previous_uv, size)
+    prev_color = warp_reduce(ctx, "catmull", channels=(0, 3))
+    prev_color = jnp.clip(prev_color, 0.0, 1.0)
 
-    # variance clip on disocclusion
     need_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)
 
     def samp(du, dv):
-        c = nearest_sample(current, uv + jnp.array([du, dv]) * texel)[..., :3]
+        c = _shift(current[..., :3], dv, du)
         return rgb_to_ycocg(jnp.clip(c, 0.0, 1.0))
 
     s_mm = rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0))
@@ -99,6 +145,6 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
     prev_color = jnp.where(need_clip[..., None], clipped, prev_color)
 
     out = prev_color + (current_color - prev_color) * (0.1 / frame["upscale_ratio"])
-    out = jnp.concatenate([out, original[..., 3:4]], -1)
+    out = jnp.concatenate([out, alpha], -1)
     return jnp.where(has_content[..., None], out,
                      jnp.broadcast_to(clear_color, out.shape))

@@ -133,8 +133,13 @@ def brute_force_intersect(scene, ro, rd, max_t,
         jnp.full((n,), -1, jnp.int32),
     )
     (t, u, v, prim), _ = jax.lax.scan(body, init, jnp.arange(num_tiles))
+    from hikari_tpu.utils.math import table_gather
+
     miss = prim < 0
-    instance = jnp.where(miss, -1, scene["tri_instance"][jnp.maximum(prim, 0)])
+    inst = jnp.round(
+        table_gather(scene["tri_pos_flat"], jnp.maximum(prim, 0))[:, 9]
+    ).astype(jnp.int32)
+    instance = jnp.where(miss, -1, inst)
     return {"t": t, "u": u, "v": v, "prim": prim, "instance": instance}
 
 
@@ -156,14 +161,12 @@ def traverse_bvh(scene, ro, rd, max_t,
     if early_distance is None:
         early_distance = jnp.zeros((n,), jnp.float32)
 
+    from hikari_tpu.utils.math import table_gather
+
     _, _, inv_rd = make_ray(ro, rd)
 
-    bvh_min = scene["bvh_min"]
-    bvh_max = scene["bvh_max"]
-    bvh_entry = scene["bvh_entry"]
-    bvh_exit = scene["bvh_exit"]
-    tri_pos = scene["tri_pos"]
-    tri_inst = scene["tri_instance"]
+    bvh_packed = scene["bvh_packed"]
+    tri_pos_flat = scene["tri_pos_flat"]
 
     def cond(state):
         idx = state[0]
@@ -172,20 +175,22 @@ def traverse_bvh(scene, ro, rd, max_t,
     def body(state):
         idx, t_best, u_best, v_best, prim_best = state
         safe = jnp.minimum(idx, node_count - 1)
-        entry = bvh_entry[safe]
-        exit_ = bvh_exit[safe]
-        nmin = bvh_min[safe]
-        nmax = bvh_max[safe]
+        node = table_gather(bvh_packed, safe)  # [N,9]
+        nmin = node[:, 0:3]
+        nmax = node[:, 3:6]
+        is_leaf = node[:, 6] > 0.5
+        payload = jnp.round(node[:, 7]).astype(jnp.int32)
+        exit_ = jnp.round(node[:, 8]).astype(jnp.int32)
         active = idx < node_count
-        is_leaf = entry < 0  # sign bit == 0x80000000 leaf flag
 
         aabb_t = intersects_aabb(ro, inv_rd, nmin, nmax)
         aabb_hit = aabb_t < t_best
 
-        prim = jnp.where(is_leaf, entry & jnp.int32(0x7FFFFFFF), 0)
-        v = tri_pos[prim]  # [N,3,3]
+        prim = jnp.where(is_leaf, payload, 0)
+        tri = table_gather(tri_pos_flat, prim)  # [N,10]
+        v = tri[:, :9].reshape(-1, 3, 3)
         t, u, vv = intersect_triangle(ro, rd, v[:, 0], v[:, 1], v[:, 2])
-        inst = tri_inst[prim]
+        inst = jnp.round(tri[:, 9]).astype(jnp.int32)
         accept = (
             active & is_leaf & aabb_hit
             & (t < t_best)
@@ -199,7 +204,8 @@ def traverse_bvh(scene, ro, rd, max_t,
         prim_best = jnp.where(accept, prim, prim_best)
 
         early_out = accept & (t_best < early_distance)
-        next_idx = jnp.where(is_leaf, exit_, jnp.where(aabb_hit, entry, exit_))
+        next_idx = jnp.where(is_leaf, exit_,
+                             jnp.where(aabb_hit, payload, exit_))
         idx = jnp.where(active, jnp.where(early_out, node_count, next_idx), idx)
         return idx, t_best, u_best, v_best, prim_best
 
@@ -212,7 +218,8 @@ def traverse_bvh(scene, ro, rd, max_t,
     )
     idx, t, u, v, prim = jax.lax.while_loop(cond, body, state)
     miss = prim < 0
-    instance = jnp.where(miss, -1, tri_inst[jnp.maximum(prim, 0)])
+    inst_f = table_gather(tri_pos_flat, jnp.maximum(prim, 0))[:, 9]
+    instance = jnp.where(miss, -1, jnp.round(inst_f).astype(jnp.int32))
     return {"t": t, "u": u, "v": v, "prim": prim, "instance": instance}
 
 
@@ -247,13 +254,17 @@ def hit_info(scene, ro, rd, hit):
     """Interpolate hit attributes (light.wgsl:496-523 `hit_info`).
 
     Returns dict: position [N,4] (w=1 hit / 0 miss at DISTANCE_MAX), normal,
-    uv, instance, material (-1 on miss).
+    uv, instance, material (-1 on miss). One packed-table lookup
+    (utils.math.table_gather) serves all attributes.
     """
+    from hikari_tpu.utils.math import table_gather
+
     DISTANCE_MAX = 65535.0
     prim = jnp.maximum(hit["prim"], 0)
     miss = hit["instance"] < 0
-    nrm = scene["tri_normal"][prim]  # [N,3,3]
-    uv = scene["tri_uv"][prim]  # [N,3,2]
+    attr = table_gather(scene["tri_attr"], prim)  # [N,17]
+    nrm = attr[:, 0:9].reshape(-1, 3, 3)
+    uv = attr[:, 9:15].reshape(-1, 3, 2)
     u = hit["u"][:, None]
     v = hit["v"][:, None]
     normal = nrm[:, 0] + u * (nrm[:, 1] - nrm[:, 0]) + v * (nrm[:, 2] - nrm[:, 0])
@@ -262,7 +273,7 @@ def hit_info(scene, ro, rd, hit):
     t = jnp.where(miss, DISTANCE_MAX, hit["t"])
     pos = ro + rd * t[:, None]
     position = jnp.concatenate([pos, jnp.where(miss, 0.0, 1.0)[:, None]], axis=-1)
-    material = jnp.where(miss, -1, scene["tri_material"][prim])
+    material = jnp.where(miss, -1, jnp.round(attr[:, 16]).astype(jnp.int32))
     return {
         "position": position,
         "normal": jnp.where(miss[:, None], 0.0, normal),

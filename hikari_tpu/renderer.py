@@ -73,9 +73,13 @@ class Renderer:
         self._frame_index = 0
         self._prev_view_initialized = False
 
-    def update_scene(self, scene: Scene):
-        """Recompile the scene (transform changes, asset churn)."""
-        self.gpu_scene = scene.compile()
+    def update_scene(self, scene: Scene, fast: bool = False):
+        """Refresh the device scene. fast=True keeps topology and refits
+        (per-frame animation path); otherwise full recompile."""
+        if fast:
+            self.gpu_scene = self.gpu_scene.update_transforms(scene)
+        else:
+            self.gpu_scene = scene.compile()
         self.scene_dev = self.gpu_scene.as_pytree()
 
     def render_frame(self) -> jnp.ndarray:

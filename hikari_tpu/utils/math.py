@@ -241,6 +241,33 @@ def sample_uniform_triangle_barycentric(rand2):
     return jnp.stack([1.0 - srx, rand2[..., 1] * srx], axis=-1)
 
 
+SMALL_TABLE_MAX = 64
+
+
+def table_gather(table, idx, small_max: int = SMALL_TABLE_MAX):
+    """Per-element lookup `table[idx]` that is fast on TPU.
+
+    XLA's gather costs ~24-40ns per gathered row regardless of table size
+    (measured) — ruinous for per-pixel material/instance/triangle lookups.
+    Small tables use an unrolled select-sweep (fuses into one VPU kernel, no
+    per-row gather); larger tables fall back to the row-gather, which
+    callers should amortize by packing fields into wide rows.
+
+    table: [T, ...] array. idx: any int shape. Returns
+    idx.shape + table.shape[1:].
+    """
+    t = table.shape[0]
+    if t > small_max:
+        return table[jnp.clip(idx, 0, t - 1)]
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    if t == 1:
+        return out
+    sel_shape = idx.shape + (1,) * (table.ndim - 1)
+    for k in range(1, t):
+        out = jnp.where((idx == k).reshape(sel_shape), table[k], out)
+    return out
+
+
 def transform_point(mat4, p):
     """mat4 [...,4,4] @ point [...,3] with w-divide."""
     ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
