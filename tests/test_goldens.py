@@ -1,0 +1,38 @@
+"""Scene-level golden regression: render each config and compare SSIM to the
+stored golden (SURVEY.md §4 item 3 — the analog of the reference's committed
+screenshots). Goldens regenerate with tools/make_goldens.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hikari_tpu.utils.image import ssim
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def golden_names():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.make_goldens import configs
+
+    return list(configs().keys())
+
+
+@pytest.mark.parametrize("name", ["minimal_raw", "cornell_raw",
+                                  "cornell_denoised", "simple_raw"])
+def test_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated (tools/make_goldens.py)")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.make_goldens import render_config
+
+    golden = np.load(path)["img"].astype(np.float32)
+    img = render_config(name)
+    s = ssim(np.clip(img[..., :3], 0, 1), np.clip(golden[..., :3], 0, 1))
+    assert s > 0.98, f"{name}: SSIM {s:.4f} vs golden"
