@@ -44,10 +44,11 @@ def main():
     # no reuse". TAA/upscale off => lighting at full 1080p.
     settings = dataclasses.replace(
         HikariSettings(),
-        temporal_reuse=False,
+        temporal_reuse=_o.environ.get("BENCH_REUSE", "0") == "1",
         emissive_spatial_reuse=False,
         indirect_spatial_reuse=False,
-        denoise=True,
+        denoise=_o.environ.get("BENCH_DENOISE", "1") == "1",
+        indirect_bounces=int(_o.environ.get("BENCH_BOUNCES", "1")),
         taa=Taa.NONE,
         upscale=Upscale.none(),
     )

@@ -25,9 +25,16 @@ ASSETS = os.environ.get("HIKARI_ASSETS", "/root/reference/assets")
 def build_scene(max_texture_side=256) -> Scene:
     sc = Scene()
     city = os.path.join(ASSETS, "models/City/scene.gltf")
+    loaded = False
     if os.path.exists(city):
-        load_gltf_scene(city, sc, max_texture_side=max_texture_side)
-    else:
+        try:
+            load_gltf_scene(city, sc, max_texture_side=max_texture_side)
+            loaded = True
+        except FileNotFoundError:
+            # the reference repo ships City/scene.gltf without its scene.bin
+            # buffer (LFS-stripped); fall back to procedural content
+            pass
+    if not loaded:
         # fallback: procedural blocks
         cube = sc.add_mesh(shapes.cube(1.0))
         m = sc.add_material(StandardMaterial.from_color(0.7, 0.7, 0.7))
