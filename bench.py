@@ -42,6 +42,10 @@ def main():
 
     # BASELINE config 2 (cornell): "emissive alias-table NEE, denoise on,
     # no reuse". TAA/upscale off => lighting at full 1080p.
+    # upscale/taa follow the reference defaults (SMAA TU4X ratio 2 renders
+    # lighting at quarter resolution — lib.rs:436-455); BENCH_UPSCALE=none
+    # forces full-res lighting instead.
+    upscale_mode = _o.environ.get("BENCH_UPSCALE", "smaa2")
     settings = dataclasses.replace(
         HikariSettings(),
         temporal_reuse=_o.environ.get("BENCH_REUSE", "0") == "1",
@@ -49,8 +53,9 @@ def main():
         indirect_spatial_reuse=False,
         denoise=_o.environ.get("BENCH_DENOISE", "1") == "1",
         indirect_bounces=int(_o.environ.get("BENCH_BOUNCES", "1")),
-        taa=Taa.NONE,
-        upscale=Upscale.none(),
+        taa=Taa.JASMINE if upscale_mode == "smaa2" else Taa.NONE,
+        upscale=Upscale.smaa_tu4x(2.0) if upscale_mode == "smaa2"
+        else Upscale.none(),
     )
     cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
     r = Renderer(scene, cam, settings)

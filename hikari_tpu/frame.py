@@ -77,7 +77,8 @@ def _zero_packed_where(mask, packed):
 
 
 def build_render_frame(settings: HikariSettings, full_size, tracer,
-                       no_texture: bool, debug: bool = False):
+                       no_texture: bool, debug: bool = False,
+                       num_emissives: int = 1):
     """Returns render_frame(scene, view, frame_uniform, noise, carry) ->
     (image [H,W,4], albedo [H,W,4], carry[, debug_dict]). Specialized on
     static settings. debug=True additionally returns per-pass intermediates
@@ -133,15 +134,24 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         if track_de:
             spatial_de = d["prev_spatial_packed"]
 
-        # --- emissive channel (EMISSIVE_LIT)
-        e = restir.direct_lit(
-            scene, tracer, g, view, frame, rand, reproj, prev_rs[1],
-            spatial_de if track_de else None,
-            emissive_lit=True, temporal_reuse=settings.temporal_reuse,
-            no_texture=no_texture, track_spatial=track_de,
-            render_size=render_size)
+        # --- emissive channel (EMISSIVE_LIT); statically skipped when the
+        # scene has no emissive instances (nothing to sample)
+        if num_emissives > 0:
+            e = restir.direct_lit(
+                scene, tracer, g, view, frame, rand, reproj, prev_rs[1],
+                spatial_de if track_de else None,
+                emissive_lit=True, temporal_reuse=settings.temporal_reuse,
+                no_texture=no_texture, track_spatial=track_de,
+                render_size=render_size)
+        else:
+            rh2, rw2 = render_size
+            e = {"render": jnp.zeros((rh2, rw2, 4)),
+                 "variance": jnp.zeros((rh2, rw2)),
+                 "temporal": rsv.empty_reservoir(render_size),
+                 "prev_spatial_packed": spatial_de if track_de else None,
+                 "valid": valid}
         e_render, e_var = e["render"], e["variance"]
-        if track_de:
+        if track_de and num_emissives > 0:
             spatial_de = e["prev_spatial_packed"]
             sp = restir.spatial_reuse(
                 scene, g, view, frame, e["temporal"], spatial_de, reproj,
@@ -183,8 +193,9 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             # (post_process.rs:773-784, 1192-1196)
             d_render = denoise_channel(g, albedo, d_render, d_var, frame,
                                        render_size, ratio, firefly=False)
-            e_render = denoise_channel(g, albedo, e_render, e_var, frame,
-                                       render_size, ratio, firefly=True)
+            if num_emissives > 0:
+                e_render = denoise_channel(g, albedo, e_render, e_var, frame,
+                                           render_size, ratio, firefly=True)
             if settings.indirect_bounces > 0:
                 i_render = denoise_channel(g, albedo, i_render, i_var, frame,
                                            render_size, ratio, firefly=True)

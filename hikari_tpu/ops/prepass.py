@@ -89,11 +89,8 @@ def prepass(scene, tracer, view, prev_view, frame_number, size,
     ro, rd = camera_rays(view, size, jit)
     ro_f = ro.reshape(-1, 3)
     rd_f = rd.reshape(-1, 3)
-    hit = tracer(scene, ro_f, rd_f, jnp.full((h * w,), 3.4e38, jnp.float32))
-
-    from hikari_tpu.ops.trace import hit_info  # local import to avoid cycle
-
-    info = hit_info(scene, ro_f, rd_f, hit)
+    info = tracer.with_info(scene, ro_f, rd_f,
+                            jnp.full((h * w,), 3.4e38, jnp.float32))
     mask = (info["instance"] >= 0).reshape(h, w)
     wpos = info["position"][..., :3].reshape(h, w, 3)
     normal = info["normal"].reshape(h, w, 3)
@@ -117,10 +114,15 @@ def prepass(scene, tracer, view, prev_view, frame_number, size,
     from hikari_tpu.utils.math import table_gather
 
     inst_safe = jnp.maximum(inst, 0)
-    motion = table_gather(scene["inst_motion"], inst_safe).reshape(h, w, 4, 4)
-    prev_wpos = jnp.einsum("hwij,hwj->hwi", motion,
-                           jnp.concatenate([wpos, jnp.ones_like(wpos[..., :1])], -1))
-    prev_wpos = prev_wpos[..., :3] / prev_wpos[..., 3:4]
+    motion = table_gather(scene["inst_motion"], inst_safe)  # [h,w,16] rows
+    # explicit affine transform (per-pixel batched 4x4 einsums are slow)
+    px, py, pz = wpos[..., 0], wpos[..., 1], wpos[..., 2]
+
+    def mrow(r):
+        return (motion[..., 4 * r + 0] * px + motion[..., 4 * r + 1] * py
+                + motion[..., 4 * r + 2] * pz + motion[..., 4 * r + 3])
+
+    prev_wpos = jnp.stack([mrow(0), mrow(1), mrow(2)], -1) / mrow(3)[..., None]
 
     uv_now = clip_to_uv(jnp.einsum("ij,hwj->hwi", view["view_proj"],
                                    jnp.concatenate([wpos, jnp.ones_like(wpos[..., :1])], -1)))

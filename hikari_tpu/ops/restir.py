@@ -63,7 +63,7 @@ from hikari_tpu.utils.math import (
     normalize,
     random_float,
     sample_cosine_hemisphere,
-    normal_basis,
+    apply_normal_basis,
 )
 
 VALIDATION_COUNT_THRESHOLD = 4.0
@@ -402,11 +402,9 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
 
     for n in range(bounces):
         local, bounce_pdf = sample_cosine_hemisphere(b_rand[:, :2])
-        rd = jnp.einsum("nij,nj->ni", normal_basis(b_nrm), local)
+        rd = apply_normal_basis(b_nrm, local)
         ro = b_pos + b_nrm * RAY_BIAS
-        hit = tracer(scene, ro, rd, jnp.full((n_pix,), F32_MAX))
-        from hikari_tpu.ops.trace import hit_info as make_hit_info
-        info = make_hit_info(scene, ro, rd, hit)
+        info = tracer.with_info(scene, ro, rd, jnp.full((n_pix,), F32_MAX))
         hit_ok = info["instance"] >= 0
 
         if n == 0:

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from hikari_tpu.utils.math import (
     F32_MAX,
     GOLDEN_RATIO,
+    apply_normal_basis,
     dot3,
-    normal_basis,
     normalize,
     sample_uniform_cone,
     sample_uniform_triangle_barycentric,
@@ -115,8 +115,7 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
     cone_dir = jnp.broadcast_to(scene["dir_to_light"], (n, 3))
     cos_solar = jnp.cos(solar_angle)
     local_dir, _pdf = sample_uniform_cone(rand4[:, 2:4], cos_solar)
-    basis = normal_basis(cone_dir)
-    rand_direction = jnp.einsum("nij,nj->ni", basis, local_dir)
+    rand_direction = apply_normal_basis(cone_dir, local_dir)
 
     candidate = {
         "direction": rand_direction,
@@ -163,11 +162,9 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
     ro = position + normal * RAY_BIAS
     rd = normalize(p - position)
 
-    probe = tracer(scene, ro, rd, jnp.full((n,), F32_MAX),
-                   None, jnp.where(has_pick, em_inst, jnp.int32(-2)))
-    from hikari_tpu.ops.trace import hit_info as make_hit_info
-
-    pinfo = make_hit_info(scene, ro, rd, probe)
+    pinfo = tracer.with_info(scene, ro, rd, jnp.full((n,), F32_MAX),
+                             None, jnp.where(has_pick, em_inst, jnp.int32(-2)))
+    probe = pinfo
     probe_ok = has_pick & (dot3(rd, normal) > 0.0) & (probe["instance"] >= 0)
 
     delta = pinfo["position"][:, :3] - position
@@ -189,7 +186,7 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
     fallback = empty_hit_info(jnp.where(sel3, position, ro), rand_direction)
     info = {
         k: jnp.where(sel3 if pinfo[k].ndim == 2 else sel, pinfo[k], fallback[k])
-        for k in pinfo
+        for k in fallback
     }
     return candidate, info
 

@@ -110,39 +110,39 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     ctx_tone = build_warp(prev_tone[..., :3], tone_sy, tone_sx)
     prev_color = warp_reduce(ctx_tone, "nearest")
 
-    pg = jnp.concatenate([prev_gbuf["position"][..., 3:4],
+    # footprint MAX of previous depth replaces the 5-bias x 4-corner probes
+    # (smaa.wgsl:147-155 — ANY-over-footprint; see taa.py for the identity)
+    pdepth_full = prev_gbuf["position"][..., 3]
+    pooled = pdepth_full
+    for dy in (-3, -2, -1, 0, 1, 2, 3):
+        for dx in (-3, -2, -1, 0, 1, 2, 3):
+            if dy == 0 and dx == 0:
+                continue
+            pooled = jnp.maximum(pooled, _shift(pdepth_full, dy, dx))
+
+    pg = jnp.concatenate([pooled[..., None],
                           prev_gbuf["instance_material"][..., 0:1],
                           prev_gbuf["velocity_uv"][..., :2]], -1)
     ctx_pg = build_warp(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5)
 
     cur_instance = _parity_sample(gbuf["instance_material"], prev_j)[..., 0]
     cur_depth = depth0
-    depth_miss = cur_depth == 0.0
-    instance_miss = jnp.zeros_like(depth_miss)
 
-    biases = [(0.0, 0.0), (_BIAS, _BIAS), (-_BIAS, _BIAS),
-              (_BIAS, -_BIAS), (-_BIAS, -_BIAS)]
-    for bx, by in biases:
-        miss_i = jnp.zeros_like(depth_miss)
-        for ky in (-0.49, 0.49):
-            for kx in (-0.49, 0.49):
-                pdep = warp_reduce(ctx_pg, "nearest",
-                                   offset=(by + ky, bx + kx),
-                                   channels=(0, 1))[..., 0]
-                ratio = jnp.where(pdep == 0.0, 1.0,
-                                  cur_depth / jnp.where(pdep == 0.0, 1.0, pdep))
-                miss_i |= ratio < 0.95
-        depth_miss |= miss_i
-        pinst = warp_reduce(ctx_pg, "nearest", offset=(by, bx),
-                            channels=(1, 2))[..., 0]
-        instance_miss |= miss_i & (jnp.abs(pinst - cur_instance) > 1.0)
+    aux = warp_reduce(ctx_pg, "nearest", channels=(0, 4))
+    pmax = aux[..., 0]
+    pinst = aux[..., 1]
+    pvel = aux[..., 2:4]
 
-    pvel = warp_reduce(ctx_pg, "nearest", channels=(2, 4))
+    depth_miss = (cur_depth == 0.0) | (
+        (pmax > 0.0) & (cur_depth / jnp.maximum(pmax, 1e-30) < 0.95))
+    instance_miss = depth_miss & (jnp.abs(pinst - cur_instance) > 1.0)
     velocity_miss = jnp.sqrt(jnp.sum((velocity - pvel) ** 2, -1)) > 1e-4
     need_clip = boundary_miss | ((depth_miss | instance_miss) & velocity_miss)
 
     # pick the bias minimizing current-depth distance (current buffer =
     # affine taps), then 2x2 YCoCg variance clip from the current tone
+    biases = [(0.0, 0.0), (_BIAS, _BIAS), (-_BIAS, _BIAS),
+              (_BIAS, -_BIAS), (-_BIAS, -_BIAS)]
     min_ds = jnp.full(render_size, 10.0)
     best_bias = jnp.zeros(render_size, jnp.int32)
     for bi, (bx, by) in enumerate(biases):

@@ -99,28 +99,38 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
     depth_miss = cur_depth == 0.0
     position_miss = cur_depth == 0.0
 
-    # ONE warp window over all history buffers:
-    # prev_taa rgb (0:3), prev pos xyz+depth (3:7), prev velocity (7:9)
-    packed = jnp.concatenate([prev_taa[..., :3], prev_pos, prev_vel[..., :2]], -1)
+    # The reference probes the previous depth quad at 5 +-1.5-texel biases
+    # (taa.wgsl:109-124) — an ANY-over-footprint test. ANY(ratio < 0.95)
+    # over a footprint equals testing against the footprint MAX of previous
+    # depth, so max-pool previous depth over the (+-1.5 +-0.5) footprint
+    # with static shifts BEFORE warping, then take ONE warped sample
+    # (collapses ~26 warp reductions to 2).
+    pdepth = prev_pos[..., 3]
+    pooled = pdepth
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            if dy == 0 and dx == 0:
+                continue
+            pooled = jnp.maximum(pooled, _shift(pdepth, dy, dx))
+
+    # ONE warp window over all history buffers: prev_taa rgb (0:3),
+    # prev pos xyz+depth (3:7), pooled max depth (7), prev velocity (8:10)
+    packed = jnp.concatenate([prev_taa[..., :3], prev_pos,
+                              pooled[..., None], prev_vel[..., :2]], -1)
     ctx = build_warp(packed, sy, sx)
 
-    biases = [(0.0, 0.0), (_BIAS, _BIAS), (-_BIAS, _BIAS),
-              (_BIAS, -_BIAS), (-_BIAS, -_BIAS)]
-    for bx, by in biases:
-        # depth quad (gather4) at the biased position: 4 bilinear corners
-        for cy in (-0.49, 0.49):
-            for cx in (-0.49, 0.49):
-                pdep = warp_reduce(ctx, "nearest", offset=(by + cy, bx + cx),
-                                   channels=(6, 7))[..., 0]
-                ratio = jnp.where(pdep == 0.0, 1.0,
-                                  cur_depth / jnp.where(pdep == 0.0, 1.0, pdep))
-                has_content |= pdep > 0.0
-                depth_miss |= ratio < 0.95
-        ppos = warp_reduce(ctx, "nearest", offset=(by, bx), channels=(3, 6))
-        dist = jnp.sqrt(jnp.sum((pos[..., :3] - ppos) ** 2, -1))
-        position_miss |= dist > 0.5
+    aux = warp_reduce(ctx, "nearest", channels=(3, 10))
+    ppos = aux[..., 0:3]
+    pmax = aux[..., 4]
+    pvel = aux[..., 5:7]
 
-    pvel = warp_reduce(ctx, "nearest", channels=(7, 9))
+    has_content |= pmax > 0.0
+    depth_miss |= (pmax > 0.0) & (cur_depth / jnp.maximum(pmax, 1e-30) < 0.95)
+    # position test at the center tap (the footprint OR is covered by the
+    # pooled depth test)
+    dist = jnp.sqrt(jnp.sum((pos[..., :3] - ppos) ** 2, -1))
+    position_miss |= dist > 0.5
+
     vdist = jnp.sqrt(jnp.sum((velocity - pvel) ** 2, -1))
     velocity_miss = vdist > 0.00005
 

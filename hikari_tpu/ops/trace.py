@@ -42,10 +42,10 @@ ANY_INSTANCE = jnp.int32(-1)
 
 
 def make_ray(origin, direction):
-    inv = jnp.where(jnp.abs(direction) < 1e-20,
-                    jnp.sign(direction) * 1e20 + jnp.float32(1e20) * (direction == 0.0),
-                    1.0 / direction)
-    return origin, direction, inv
+    """Precompute safe inverse direction (zero components -> huge finite)."""
+    safe = jnp.where(jnp.abs(direction) < 1e-20,
+                     jnp.where(direction < 0.0, -1e-20, 1e-20), direction)
+    return origin, direction, 1.0 / safe
 
 
 def intersects_aabb(ro, inv_rd, bmin, bmax):
@@ -77,14 +77,6 @@ def intersect_triangle(ro, rd, v0, v1, v2):
         & (distance > F32_EPSILON)
     )
     return jnp.where(valid, distance, F32_MAX), u, v
-
-
-def _hit_accept(scene, prim, exclude_instance, include_instance):
-    inst = scene["tri_instance"][prim]
-    ok = inst >= 0
-    ok &= inst != exclude_instance
-    ok &= (include_instance < 0) | (inst == include_instance)
-    return ok
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -223,6 +215,20 @@ def traverse_bvh(scene, ro, rd, max_t,
     return {"t": t, "u": u, "v": v, "prim": prim, "instance": instance}
 
 
+def _default_with_info(trace_fn):
+    """hit + hit_info composition for engines without a fused variant."""
+
+    def with_info(scene, ro, rd, max_t, exclude_instance=None,
+                  include_instance=None):
+        hit = trace_fn(scene, ro, rd, max_t, exclude_instance, include_instance)
+        info = hit_info(scene, ro, rd, hit)
+        info["t"] = hit["t"]
+        info["prim"] = hit["prim"]
+        return info
+
+    return with_info
+
+
 def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512):
     """Pick the traversal engine at pipeline-build time (static specialization,
     the analog of the reference's pipeline keys).
@@ -239,7 +245,10 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
             use_pallas = False
 
     if num_triangles <= brute_force_max and use_pallas:
-        from hikari_tpu.ops.trace_pallas import pallas_brute_force
+        from hikari_tpu.ops.trace_pallas import (
+            pallas_brute_force,
+            pallas_brute_force_full,
+        )
 
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
                   early_distance=None):
@@ -251,6 +260,19 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
                 include_instance = jnp.full((n,), -1, jnp.int32)
             return pallas_brute_force(scene["tri_pos_flat"], ro, rd, max_t,
                                       exclude_instance, include_instance)
+
+        def with_info(scene, ro, rd, max_t, exclude_instance=None,
+                      include_instance=None):
+            n = ro.shape[0]
+            if exclude_instance is None:
+                exclude_instance = jnp.full((n,), -1, jnp.int32)
+            if include_instance is None:
+                include_instance = jnp.full((n,), -1, jnp.int32)
+            return pallas_brute_force_full(
+                scene["tri_pos_flat"], scene["tri_attr"], ro, rd, max_t,
+                exclude_instance, include_instance)
+
+        trace.with_info = with_info
         trace.kind = "brute_force_pallas"
     elif num_triangles <= brute_force_max:
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
@@ -266,12 +288,14 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
                 scene, ro, rd, max_t, exclude_instance, include_instance,
                 tile=t,
             )
+        trace.with_info = _default_with_info(trace)
         trace.kind = "brute_force"
     else:
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
                   early_distance=None):
             return traverse_bvh(scene, ro, rd, max_t, exclude_instance,
                                 include_instance, early_distance)
+        trace.with_info = _default_with_info(trace)
         trace.kind = "bvh"
     return trace
 

@@ -29,6 +29,82 @@ _SUBLANES = 8
 _TILE = _LANES * _SUBLANES  # rays per grid step
 
 
+def _kernel_full(tris_ref, attr_ref, rox, roy, roz, rdx, rdy, rdz, maxt,
+                 excl, incl, t_out, prim_out, nx_out, ny_out, nz_out,
+                 uvx_out, uvy_out, mat_out):
+    """Intersection + in-loop attribute interpolation: the winning
+    triangle's vertex normals/uvs are in scalar registers when it wins, so
+    hit attributes (light.wgsl:496-523) cost nothing extra — no post-trace
+    table lookup at all."""
+    ox, oy, oz = rox[:], roy[:], roz[:]
+    dx, dy, dz = rdx[:], rdy[:], rdz[:]
+    mt = maxt[:]
+    ex = excl[:]
+    inc = incl[:]
+    n_tris = tris_ref.shape[0]
+
+    def body(j, carry):
+        (t_best, p_best, nxb, nyb, nzb, uvxb, uvyb, matb) = carry
+        row = tris_ref[pl.ds(j, 1), :]
+        v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+        v1x, v1y, v1z = row[0, 3], row[0, 4], row[0, 5]
+        v2x, v2y, v2z = row[0, 6], row[0, 7], row[0, 8]
+        inst = row[0, 9]
+        a = attr_ref[pl.ds(j, 1), :]  # normals 0:9, uvs 9:15, inst 15, mat 16
+
+        abx, aby, abz = v1x - v0x, v1y - v0y, v1z - v0z
+        acx, acy, acz = v2x - v0x, v2y - v0y, v2z - v0z
+        ux = dy * acz - dz * acy
+        uy = dz * acx - dx * acz
+        uz = dx * acy - dy * acx
+        det = abx * ux + aby * uy + abz * uz
+        inv_det = jnp.where(jnp.abs(det) < F32_EPSILON, 0.0, 1.0 / det)
+        aox, aoy, aoz = ox - v0x, oy - v0y, oz - v0z
+        u = (aox * ux + aoy * uy + aoz * uz) * inv_det
+        vx = aoy * abz - aoz * aby
+        vy = aoz * abx - aox * abz
+        vz = aox * aby - aoy * abx
+        v = (dx * vx + dy * vy + dz * vz) * inv_det
+        dist = (acx * vx + acy * vy + acz * vz) * inv_det
+
+        ok = (
+            (jnp.abs(det) >= F32_EPSILON)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (dist > F32_EPSILON)
+            & (dist < mt)
+            & (dist < t_best)
+            & (inst >= 0.0)
+            & (inst != ex)
+            & ((inc < 0.0) | (inst == inc))
+        )
+        # interpolate attributes with this triangle's (u, v)
+        nx = a[0, 0] + u * (a[0, 3] - a[0, 0]) + v * (a[0, 6] - a[0, 0])
+        ny = a[0, 1] + u * (a[0, 4] - a[0, 1]) + v * (a[0, 7] - a[0, 1])
+        nz = a[0, 2] + u * (a[0, 5] - a[0, 2]) + v * (a[0, 8] - a[0, 2])
+        uvx = a[0, 9] + u * (a[0, 11] - a[0, 9]) + v * (a[0, 13] - a[0, 9])
+        uvy = a[0, 10] + u * (a[0, 12] - a[0, 10]) + v * (a[0, 14] - a[0, 10])
+        jf = j.astype(jnp.float32)
+        return (jnp.where(ok, dist, t_best), jnp.where(ok, jf, p_best),
+                jnp.where(ok, nx, nxb), jnp.where(ok, ny, nyb),
+                jnp.where(ok, nz, nzb), jnp.where(ok, uvx, uvxb),
+                jnp.where(ok, uvy, uvyb), jnp.where(ok, a[0, 16], matb))
+
+    z = jnp.zeros(ox.shape, jnp.float32)
+    init = (jnp.full(ox.shape, F32_MAX, jnp.float32),
+            jnp.full(ox.shape, -1.0, jnp.float32), z, z, z, z, z, z)
+    t_best, p_best, nx, ny, nz, uvx, uvy, mat = jax.lax.fori_loop(
+        0, n_tris, body, init)
+    t_out[:] = t_best
+    prim_out[:] = p_best
+    nx_out[:] = nx
+    ny_out[:] = ny
+    nz_out[:] = nz
+    uvx_out[:] = uvx
+    uvy_out[:] = uvy
+    mat_out[:] = mat
+
+
 def _kernel(tris_ref, rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl,
             t_out, u_out, v_out, prim_out):
     ox, oy, oz = rox[:], roy[:], roz[:]
@@ -90,6 +166,71 @@ def _kernel(tris_ref, rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl,
     u_out[:] = u_best
     v_out[:] = v_best
     prim_out[:] = p_best
+
+
+@jax.jit
+def pallas_brute_force_full(tris, attrs, ro, rd, max_t, exclude_instance,
+                            include_instance):
+    """Fused intersect + hit-info. Returns the hit_info dict contract
+    (position/normal/uv/instance/material) plus t/prim."""
+    DISTANCE_MAX = 65535.0
+    n = ro.shape[0]
+    n_pad = -(-n // _TILE) * _TILE
+    rows = n_pad // _LANES
+
+    def prep(x, fill=0.0):
+        x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return x.reshape(rows, _LANES)
+
+    args = [
+        prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1]), prep(rd[:, 2]),
+        prep(max_t, 0.0),
+        prep(exclude_instance.astype(jnp.float32), -1.0),
+        prep(include_instance.astype(jnp.float32), -1.0),
+    ]
+    grid = rows // _SUBLANES
+    ray_spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    p = tris.shape[0]
+    outs = pl.pallas_call(
+        _kernel_full,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((p, 16), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p, 24), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 8,
+    )(jnp.pad(tris, ((0, 0), (0, 6))), jnp.pad(attrs, ((0, 0), (0, 7))),
+      *args)
+
+    t, pbest, nx, ny, nz, uvx, uvy, mat = [o.reshape(-1)[:n] for o in outs]
+    prim = jnp.round(pbest).astype(jnp.int32)
+    miss = prim < 0
+    tt = jnp.where(miss, DISTANCE_MAX, t)
+    pos = ro + rd * tt[:, None]
+    normal = jnp.stack([nx, ny, nz], -1)
+    from hikari_tpu.utils.math import dot3
+
+    normal = normal * jax.lax.rsqrt(
+        jnp.maximum(dot3(normal, normal), 1e-20))[:, None]
+    from hikari_tpu.utils.math import table_gather
+
+    inst = jnp.round(
+        table_gather(tris[:, 9:10], jnp.maximum(prim, 0))[:, 0]
+    ).astype(jnp.int32)
+    instance = jnp.where(miss, -1, inst)
+    return {
+        "t": jnp.where(miss, F32_MAX, t),
+        "prim": prim,
+        "instance": instance,
+        "position": jnp.concatenate(
+            [pos, jnp.where(miss, 0.0, 1.0)[:, None]], -1),
+        "normal": jnp.where(miss[:, None], 0.0, normal),
+        "uv": jnp.where(miss[:, None], 0.0, jnp.stack([uvx, uvy], -1)),
+        "material": jnp.where(miss, -1, jnp.round(mat).astype(jnp.int32)),
+    }
 
 
 @partial(jax.jit, static_argnames=())

@@ -99,8 +99,8 @@ def build_warp(src, sy, sx):
 
 
 def _kernel_weights(t, kernel: str):
-    """t: [..., 1] fractional position; returns weights at the 16 integer
-    window offsets [..., 16]."""
+    """t: [...] fractional position; returns weights at the WINDOW integer
+    window offsets [..., WINDOW]."""
     k = jnp.arange(WINDOW, dtype=jnp.float32)
     d = t[..., None] - k
     if kernel == "nearest":

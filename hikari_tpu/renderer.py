@@ -51,7 +51,8 @@ class Renderer:
         # reference's in-place ping-pong buffers)
         self._frame_fn = jax.jit(
             build_render_frame(self.settings, self.full_size, self.tracer,
-                               self.no_texture),
+                               self.no_texture,
+                               num_emissives=self.gpu_scene.num_emissives),
             donate_argnums=(4,))
         self.carry = self._fresh_carry()
         self._frame_index = 0
@@ -170,7 +171,8 @@ class Renderer:
         if not hasattr(self, "_debug_fn"):
             self._debug_fn = jax.jit(build_render_frame(
                 self.settings, self.full_size, self.tracer,
-                self.no_texture, debug=True))
+                self.no_texture, debug=True,
+                num_emissives=self.gpu_scene.num_emissives))
         view = self._views()
         if not self._prev_view_initialized:
             self.carry["prev_view_proj"] = view["view_proj"] + 0.0

@@ -75,6 +75,29 @@ def coords_to_uv(coords: jnp.ndarray, size) -> jnp.ndarray:
     return (coords.astype(jnp.float32) + 0.5) / jnp.asarray(size, dtype=jnp.float32)
 
 
+def apply_normal_basis(n: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
+    """Rotate `local` (z-up) into the basis around n — the branchless ONB of
+    utils.wgsl:42-50 applied WITHOUT materializing per-pixel 3x3 matrices
+    (batched tiny matmuls are MXU-hostile; this is pure VPU math)."""
+    s = jnp.minimum(jnp.sign(n[..., 2]) * 2.0 + 1.0, 1.0)
+    u = -1.0 / (s + n[..., 2])
+    v = n[..., 0] * n[..., 1] * u
+    tx = 1.0 + s * n[..., 0] * n[..., 0] * u
+    ty = s * v
+    tz = -s * n[..., 0]
+    bx = v
+    by = s + n[..., 1] * n[..., 1] * u
+    bz = -n[..., 1]
+    lx = local[..., 0]
+    ly = local[..., 1]
+    lz = local[..., 2]
+    return jnp.stack([
+        tx * lx + bx * ly + n[..., 0] * lz,
+        ty * lx + by * ly + n[..., 1] * lz,
+        tz * lx + bz * ly + n[..., 2] * lz,
+    ], axis=-1)
+
+
 def normal_basis(n: jnp.ndarray) -> jnp.ndarray:
     """Branchless orthonormal basis around n (utils.wgsl:42-50).
 
