@@ -45,7 +45,8 @@ def main():
     # upscale/taa follow the reference defaults (SMAA TU4X ratio 2 renders
     # lighting at quarter resolution — lib.rs:436-455); BENCH_UPSCALE=none
     # forces full-res lighting instead.
-    upscale_mode = _o.environ.get("BENCH_UPSCALE", "smaa2")
+    # BASELINE config 2 lists "denoise on, no reuse" only -> TAA/upscale off
+    upscale_mode = _o.environ.get("BENCH_UPSCALE", "none")
     settings = dataclasses.replace(
         HikariSettings(),
         temporal_reuse=_o.environ.get("BENCH_REUSE", "0") == "1",
@@ -53,7 +54,8 @@ def main():
         indirect_spatial_reuse=False,
         denoise=_o.environ.get("BENCH_DENOISE", "1") == "1",
         indirect_bounces=int(_o.environ.get("BENCH_BOUNCES", "1")),
-        taa=Taa.JASMINE if upscale_mode == "smaa2" else Taa.NONE,
+        taa=Taa.JASMINE if upscale_mode == "smaa2"
+        and _o.environ.get("BENCH_TAA", "1") == "1" else Taa.NONE,
         upscale=Upscale.smaa_tu4x(2.0) if upscale_mode == "smaa2"
         else Upscale.none(),
     )

@@ -113,7 +113,13 @@ class Scene:
         self.meshes.append(mesh)
         return len(self.meshes) - 1
 
-    def add_material(self, material: StandardMaterial) -> int:
+    def add_material(self, material) -> int:
+        """Accepts a StandardMaterial or any object exposing
+        `to_standard_material()` — the analog of the reference's custom
+        materials via `Into<StandardMaterial>` + GenericMaterialPlugin
+        (README.md:151-157, material.rs:38-49)."""
+        if not isinstance(material, StandardMaterial):
+            material = material.to_standard_material()
         self.materials.append(material)
         return len(self.materials) - 1
 

@@ -44,15 +44,19 @@ def _shift(img, dy, dx):
     return img[ys][:, xs]
 
 
-def _parity_sample(full, parity, ky: int = 0, kx: int = 0):
-    """full [H,W,C] sampled at full-res coords (2c + parity + k) for each
-    render-res pixel c. parity is a traced 0/1 scalar; k static."""
+def _parity_sample(full, parity, render_size, ky: int = 0, kx: int = 0):
+    """`full` [H2,W2,C] sampled (nearest) at output coords (2c + parity + k)
+    for each render-res pixel c, where the output grid is 2x render_size.
+    Handles full textures at any resolution (== output size for ratio 2,
+    == render size for ratio-1 supersampling). parity traced 0/1; k static."""
     h2, w2 = full.shape[:2]
-    rh, rw = h2 // 2, w2 // 2
+    rh, rw = render_size
 
     def sl(j):
-        ys = jnp.clip(jnp.arange(rh) * 2 + j + ky, 0, h2 - 1)
-        xs = jnp.clip(jnp.arange(rw) * 2 + j + kx, 0, w2 - 1)
+        ys = (2.0 * jnp.arange(rh) + j + ky + 0.5) / (2.0 * rh) * h2 - 0.5
+        xs = (2.0 * jnp.arange(rw) + j + kx + 0.5) / (2.0 * rw) * w2 - 0.5
+        ys = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h2 - 1)
+        xs = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w2 - 1)
         return full[ys][:, xs]
 
     return jnp.where(parity == 0, sl(0), sl(1))
@@ -73,23 +77,23 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     # ---- velocity at previous_output_uv with 4-diagonal max-depth dilation
     # (all affine: parity slices + static shifts of the full-res G-buffer)
     def pos_at(ky, kx):
-        return _parity_sample(gbuf["position"], prev_j, ky, kx)
+        return _parity_sample(gbuf["position"], prev_j, render_size, ky, kx)
 
     depth0 = pos_at(0, 0)[..., 3]
-    d_pp = _parity_sample(gbuf["position"], prev_j, 1, 1)[..., 3]
-    d_np = _parity_sample(gbuf["position"], prev_j, 1, -1)[..., 3]
-    d_pn = _parity_sample(gbuf["position"], prev_j, -1, 1)[..., 3]
-    d_nn = _parity_sample(gbuf["position"], prev_j, -1, -1)[..., 3]
+    d_pp = _parity_sample(gbuf["position"], prev_j, render_size, 1, 1)[..., 3]
+    d_np = _parity_sample(gbuf["position"], prev_j, render_size, 1, -1)[..., 3]
+    d_pn = _parity_sample(gbuf["position"], prev_j, render_size, -1, 1)[..., 3]
+    d_nn = _parity_sample(gbuf["position"], prev_j, render_size, -1, -1)[..., 3]
     depths = jnp.stack([d_pp, d_np, d_pn, d_nn], -1)
     max_depth = jnp.max(depths, -1)
     is_max = depths == max_depth[..., None]
     ox = jnp.sum(is_max * jnp.array([1.0, -1.0, 1.0, -1.0]), -1).astype(jnp.int32)
     oy = jnp.sum(is_max * jnp.array([1.0, 1.0, -1.0, -1.0]), -1).astype(jnp.int32)
     dilate = depth0 < max_depth
-    vel = _parity_sample(gbuf["velocity_uv"], prev_j)[..., :2]
+    vel = _parity_sample(gbuf["velocity_uv"], prev_j, render_size)[..., :2]
     for sy_ in (-1, 1):
         for sx_ in (-1, 1):
-            cand = _parity_sample(gbuf["velocity_uv"], prev_j, sy_, sx_)[..., :2]
+            cand = _parity_sample(gbuf["velocity_uv"], prev_j, render_size, sy_, sx_)[..., :2]
             take = dilate & (oy == sy_) & (ox == sx_)
             vel = jnp.where(take[..., None], cand, vel)
     velocity = vel
@@ -125,7 +129,7 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
                           prev_gbuf["velocity_uv"][..., :2]], -1)
     ctx_pg = build_warp(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5)
 
-    cur_instance = _parity_sample(gbuf["instance_material"], prev_j)[..., 0]
+    cur_instance = _parity_sample(gbuf["instance_material"], prev_j, render_size)[..., 0]
     cur_depth = depth0
 
     aux = warp_reduce(ctx_pg, "nearest", channels=(0, 4))
@@ -152,7 +156,7 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
                 # gather4 corners of position.w at output coords 2c+prev_j+bias
                 iy = np_floor(by - 0.5) + ky
                 ix = np_floor(bx - 0.5) + kx
-                d = _parity_sample(gbuf["position"], prev_j, iy, ix)[..., 3]
+                d = _parity_sample(gbuf["position"], prev_j, render_size, iy, ix)[..., 3]
                 dds = dds + (cur_depth - d) ** 2
         dds = jnp.sqrt(dds)
         take = dds < min_ds
