@@ -31,9 +31,38 @@ def post_sizes(settings: HikariSettings, full_size, render_size):
 def post_chain(gbuf, carry, tone, frame, settings: HikariSettings,
                full_size, render_size):
     """Returns (final [H,W,4] at full_size, post_carry dict)."""
+    import os
+
     prev_gbuf = carry["prev_gbuffer"]
     cur = tone
     cur_size = render_size
+
+    bypass = os.environ.get("HIKARI_POST_BYPASS")
+    if bypass:  # perf-isolation debug switches
+        def up(img):
+            if img.shape[:2] == full_size:
+                return img
+            ry = full_size[0] // img.shape[0]
+            rx = full_size[1] // img.shape[1]
+            return jnp.repeat(jnp.repeat(img, ry, 0), rx, 1)
+
+        if bypass == "all":
+            image = up(tone)
+            return image, {"prev_tone": tone, "prev_taa": carry["prev_taa"],
+                           "prev_upscale": image}
+        if bypass == "taa_only":
+            from hikari_tpu.ops.taa import taa_jasmine
+
+            cur = up(tone)
+            taa_out = taa_jasmine(gbuf, prev_gbuf, carry["prev_taa"], cur,
+                                  frame, frame["clear_color"], full_size)
+            return taa_out, {"prev_tone": tone, "prev_taa": taa_out,
+                             "prev_upscale": taa_out}
+        if bypass == "smaa_only":
+            s = smaa_tu4x(gbuf, prev_gbuf, carry["prev_tone"], tone, frame,
+                          render_size)
+            return s, {"prev_tone": tone, "prev_taa": carry["prev_taa"],
+                       "prev_upscale": s}
 
     smaa_out = None
     if settings.upscale.mode == UpscaleMode.SMAA_TU4X:

@@ -40,7 +40,6 @@ import jax.numpy as jnp
 
 from hikari_tpu.ops import reservoir as rsv
 from hikari_tpu.ops.sampling import (
-    DISTANCE_MAX,
     RAY_BIAS,
     occlude_hit_info,
     select_light_candidate,

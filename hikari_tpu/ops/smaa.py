@@ -16,6 +16,7 @@ TPU formulation (scatter- and gather-free where possible):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hikari_tpu.ops.warp import build_warp, warp_reduce
@@ -38,26 +39,43 @@ def np_floor(x: float) -> int:
 
 
 def _shift(img, dy, dx):
+    """Static shift with clamp-to-edge via pad + static slice (int-array
+    indexing lowers to slow XLA column gathers)."""
     h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    p = jnp.pad(img, ((abs(dy), abs(dy)), (abs(dx), abs(dx)))
+                + ((0, 0),) * (img.ndim - 2), mode="edge")
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(p, abs(dy) + dy, abs(dy) + dy + h, axis=0),
+        abs(dx) + dx, abs(dx) + dx + w, axis=1)
 
 
 def _parity_sample(full, parity, render_size, ky: int = 0, kx: int = 0):
     """`full` [H2,W2,C] sampled (nearest) at output coords (2c + parity + k)
     for each render-res pixel c, where the output grid is 2x render_size.
-    Handles full textures at any resolution (== output size for ratio 2,
-    == render size for ratio-1 supersampling). parity traced 0/1; k static."""
+
+    The index map is strided-affine (stride H2/(2*rh), static offset per
+    parity), so this compiles to parity-selected STATIC strided slices of an
+    edge-padded copy — int-array indexing here lowered to XLA column
+    gathers, which cost ~100x more (measured). Supports full == output size
+    (ratio 2) and full == render size (ratio-1 supersampling)."""
+    import math
+
     h2, w2 = full.shape[:2]
     rh, rw = render_size
+    stride_y = 2 if h2 == 2 * rh else 1
+    stride_x = 2 if w2 == 2 * rw else 1
+    pad = 8
+    fp = jnp.pad(full, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
 
     def sl(j):
-        ys = (2.0 * jnp.arange(rh) + j + ky + 0.5) / (2.0 * rh) * h2 - 0.5
-        xs = (2.0 * jnp.arange(rw) + j + kx + 0.5) / (2.0 * rw) * w2 - 0.5
-        ys = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h2 - 1)
-        xs = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w2 - 1)
-        return full[ys][:, xs]
+        oy = int(math.floor((j + ky + 0.5) * (h2 / (2.0 * rh)) - 0.5 + 0.5))
+        ox = int(math.floor((j + kx + 0.5) * (w2 / (2.0 * rw)) - 0.5 + 0.5))
+        return jax.lax.slice(
+            fp,
+            (pad + oy, pad + ox, 0),
+            (pad + oy + stride_y * (rh - 1) + 1,
+             pad + ox + stride_x * (rw - 1) + 1, fp.shape[2]),
+            (stride_y, stride_x, 1))
 
     return jnp.where(parity == 0, sl(0), sl(1))
 

@@ -13,6 +13,7 @@ footprint.)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hikari_tpu.ops.warp import build_warp, warp_reduce
@@ -26,11 +27,14 @@ _BIAS = 1.5
 
 
 def _shift(img, dy, dx):
-    """Static shift with clamp-to-edge (sampler address mode)."""
+    """Static shift with clamp-to-edge via pad + static slice (int-array
+    indexing lowers to slow XLA column gathers)."""
     h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    p = jnp.pad(img, ((abs(dy), abs(dy)), (abs(dx), abs(dx)))
+                + ((0, 0),) * (img.ndim - 2), mode="edge")
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(p, abs(dy) + dy, abs(dy) + dy + h, axis=0),
+        abs(dx) + dx, abs(dx) + dx + w, axis=1)
 
 
 def _resample_to(img, size):

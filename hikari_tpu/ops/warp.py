@@ -26,8 +26,6 @@ Multiple warp_reduce calls share the one expensive window fetch.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -118,11 +116,14 @@ def _kernel_weights(t, kernel: str):
 
 
 def warp_reduce(ctx, kernel: str = "bilinear", offset=(0.0, 0.0),
-                channels=None, chunks: int = 8):
+                channels=None, precise: bool = None):
     """One filtered sample per output pixel from the shared windows.
 
     offset: (dy, dx) added to the source coords (for biased taps).
     channels: (lo, hi) slice of the packed source channels.
+    The two contractions dominate the op's HBM traffic; smoothing kernels
+    (bilinear/catmull — color filtering) run in bf16 with f32 accumulation.
+    `nearest` stays exact f32 (it fetches raw data: depths, ids, positions).
     """
     win = ctx["windows"]
     if channels is not None:
@@ -131,27 +132,16 @@ def warp_reduce(ctx, kernel: str = "bilinear", offset=(0.0, 0.0),
     margin = 2.0 if kernel == "catmull" else 1.0
     ly = jnp.clip(ctx["ly"] + offset[0], margin - 1.0, WINDOW - margin)
     lx = jnp.clip(ctx["lx"] + offset[1], margin - 1.0, WINDOW - margin)
-    wy = _kernel_weights(ly, kernel)  # [G, 64, 16]
+    wy = _kernel_weights(ly, kernel)  # [G, 64, WINDOW]
     wx = _kernel_weights(lx, kernel)
 
-    csize = -(-g // chunks)
-
-    def chunk(args):
-        wv, wyc, wxc = args
-        # x contraction on the MXU: [64,16] x [16, 16F]
-        t = jnp.einsum("gpx,gyxf->gpyf", wxc, wv,
-                       preferred_element_type=jnp.float32)
-        return jnp.einsum("gpy,gpyf->gpf", wyc, t,
-                          preferred_element_type=jnp.float32)
-
-    pad_g = csize * chunks
-    win_p = jnp.pad(win, ((0, pad_g - g), (0, 0), (0, 0), (0, 0)))
-    wy_p = jnp.pad(wy, ((0, pad_g - g), (0, 0), (0, 0)))
-    wx_p = jnp.pad(wx, ((0, pad_g - g), (0, 0), (0, 0)))
-    out = jax.lax.map(chunk, (win_p.reshape(chunks, csize, WINDOW, WINDOW, f),
-                              wy_p.reshape(chunks, csize, GROUP * GROUP, WINDOW),
-                              wx_p.reshape(chunks, csize, GROUP * GROUP, WINDOW)))
-    out = out.reshape(pad_g, GROUP * GROUP, f)[:g]
+    if precise is None:
+        precise = kernel == "nearest"
+    dt = jnp.float32 if precise else jnp.bfloat16
+    t = jnp.einsum("gpx,gyxf->gpyf", wx.astype(dt), win.astype(dt),
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("gpy,gpyf->gpf", wy.astype(dt), t.astype(dt),
+                     preferred_element_type=jnp.float32)
 
     hh, ww = ctx["out_size"]
     gy, gx = ctx["gy"], ctx["gx"]

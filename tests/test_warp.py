@@ -56,7 +56,8 @@ def test_bilinear_matches_filters(rng):
                                  "bilinear"))
     uv = jnp.asarray(np.stack([(sx + 0.5) / w, (sy + 0.5) / h], -1), jnp.float32)
     expect = np.asarray(bilinear_sample(src, uv))
-    assert np.abs(out - expect).max() < 1e-4
+    # smoothing kernels reduce in bf16 (f32 accumulate)
+    assert np.abs(out - expect).max() < 2e-2
 
 
 def test_catmull_matches_filters(rng):
@@ -81,7 +82,7 @@ def test_catmull_matches_filters(rng):
         for dx in range(-1, 3):
             wgt = cr_w(sy - (y0 + dy)) * cr_w(sx - (x0 + dx))
             expect += s[np.clip(y0 + dy, 0, h - 1), np.clip(x0 + dx, 0, w - 1)] * wgt[..., None]
-    assert np.abs(out - expect).max() < 1e-3
+    assert np.abs(out - expect).max() < 2e-2  # bf16 reduce
 
 
 def test_shared_window_multi_reduce(rng):
