@@ -51,13 +51,23 @@ def post_chain(gbuf, carry, tone, frame, settings: HikariSettings,
             return image, {"prev_tone": tone, "prev_taa": carry["prev_taa"],
                            "prev_upscale": image}
         if bypass == "taa_only":
-            from hikari_tpu.ops.taa import taa_jasmine
+            # run TAA at the size its history was allocated for
+            # (post_sizes: render_size unless SMAA doubles it)
+            tsize = carry["prev_taa"].shape[:2]
 
-            cur = up(tone)
+            def up_to(img, size):
+                if img.shape[:2] == size:
+                    return img
+                ry = size[0] // img.shape[0]
+                rx = size[1] // img.shape[1]
+                return jnp.repeat(jnp.repeat(img, ry, 0), rx, 1)
+
+            cur = up_to(tone, tsize)
             taa_out = taa_jasmine(gbuf, prev_gbuf, carry["prev_taa"], cur,
-                                  frame, frame["clear_color"], full_size)
-            return taa_out, {"prev_tone": tone, "prev_taa": taa_out,
-                             "prev_upscale": taa_out}
+                                  frame, frame["clear_color"], tsize)
+            image = up_to(taa_out, full_size)
+            return image, {"prev_tone": tone, "prev_taa": taa_out,
+                           "prev_upscale": image}
         if bypass == "smaa_only":
             s = smaa_tu4x(gbuf, prev_gbuf, carry["prev_tone"], tone, frame,
                           render_size)
