@@ -267,7 +267,34 @@ class GpuScene:
                 a["em_alias_count"].astype(np.float32)[:, None],
                 a["em_surface_area"][:, None],
             ], axis=1).astype(np.float32)
+        _add_emissive_tri_tables(arrays)
         return dataclasses.replace(self, arrays=arrays, bvh=bvh2)
+
+
+def _add_emissive_tri_tables(arrays) -> None:
+    """Emissive-only triangle tables for light-probe traces.
+
+    select_light_candidate's probe ray (light.wgsl:672-683) is restricted to
+    the sampled emissive instance via the include mask, so only triangles of
+    emissive instances can ever win — tracing the full scene table is wasted
+    work (measured ~26 ms per 2M-ray brute-force dispatch at 1080p). The
+    probe engine streams this (usually tiny) subset instead; semantics are
+    identical because occluders are already skipped by the include mask.
+    """
+    em_inst = arrays["em_instance"]
+    em_inst = em_inst[em_inst >= 0]
+    mask = np.isin(
+        np.round(arrays["tri_pos_flat"][:, 9]).astype(np.int64), em_inst)
+    pos = arrays["tri_pos_flat"][mask]
+    attr = arrays["tri_attr"][mask]
+    n_pad = max(8, -(-len(pos) // 8) * 8)
+    # pad with degenerate far-away rows, instance -1 (never intersect)
+    pad_pos = np.full((n_pad - len(pos), pos.shape[1]), 1e30, np.float32)
+    pad_pos[:, 9] = -1.0
+    pad_attr = np.zeros((n_pad - len(attr), attr.shape[1]), np.float32)
+    pad_attr[:, 15] = -1.0
+    arrays["em_tri_pos_flat"] = np.concatenate([pos, pad_pos], axis=0)
+    arrays["em_tri_attr"] = np.concatenate([attr, pad_attr], axis=0)
 
 
 def compile_scene(scene: Scene, universal=None) -> GpuScene:
@@ -508,6 +535,7 @@ def compile_scene(scene: Scene, universal=None) -> GpuScene:
         em_payload.astype(np.float32)[:, None],
         arrays["em_bvh_exit"].astype(np.float32)[:, None],
     ], axis=1).astype(np.float32)
+    _add_emissive_tri_tables(arrays)
 
     return GpuScene(
         arrays=arrays,

@@ -162,8 +162,12 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
     ro = position + normal * RAY_BIAS
     rd = normalize(p - position)
 
-    pinfo = tracer.with_info(scene, ro, rd, jnp.full((n,), F32_MAX),
-                             None, jnp.where(has_pick, em_inst, jnp.int32(-2)))
+    # include-masked to the sampled emitter, so the probe engine streams the
+    # emissive-only triangle table (ops/trace.py _attach_probe) — identical
+    # result, ~10x fewer triangles for typical scenes
+    probe_trace = getattr(tracer, "probe_info", tracer.with_info)
+    pinfo = probe_trace(scene, ro, rd, jnp.full((n,), F32_MAX),
+                        None, jnp.where(has_pick, em_inst, jnp.int32(-2)))
     probe = pinfo
     probe_ok = has_pick & (dot3(rd, normal) > 0.0) & (probe["instance"] >= 0)
 

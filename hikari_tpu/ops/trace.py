@@ -215,6 +215,100 @@ def traverse_bvh(scene, ro, rd, max_t,
     return {"t": t, "u": u, "v": v, "prim": prim, "instance": instance}
 
 
+def _probe_all_pairs(tris, attrs, ro, rd, max_t, exclude_instance,
+                     include_instance):
+    """All-pairs Möller-Trumbore over a tiny triangle table (the emissive
+    subset) — [N, E] intermediates, winner attrs via one-hot matmul (no
+    per-pixel gather). Same hit-info contract as pallas_brute_force_full;
+    `prim` is local to the probe table (no consumer reads it:
+    select_light_candidate uses position/normal/t/instance/uv only).
+    """
+    E = tris.shape[0]
+    v0 = tris[None, :, 0:3]
+    e1 = tris[None, :, 3:6] - v0
+    e2 = tris[None, :, 6:9] - v0
+    inst = jnp.round(tris[:, 9]).astype(jnp.int32)[None, :]
+    d = rd[:, None, :]
+    o = ro[:, None, :]
+    u_vec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * u_vec, -1)
+    inv_det = jnp.where(jnp.abs(det) < F32_EPSILON, 0.0, 1.0 / det)
+    ao = o - v0
+    u = jnp.sum(ao * u_vec, -1) * inv_det
+    v_vec = jnp.cross(ao, e1)
+    v = jnp.sum(d * v_vec, -1) * inv_det
+    t = jnp.sum(e2 * v_vec, -1) * inv_det
+    ok = ((jnp.abs(det) >= F32_EPSILON)
+          & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > F32_EPSILON) & (t < max_t[:, None])
+          & (inst >= 0)
+          & (inst != exclude_instance[:, None])
+          & ((include_instance[:, None] < 0)
+             | (inst == include_instance[:, None])))
+    tm = jnp.where(ok, t, F32_MAX)
+    prim = jnp.argmin(tm, axis=1)
+    onehot = (jnp.arange(E)[None, :] == prim[:, None]).astype(jnp.float32)
+    t_best = jnp.min(tm, axis=1)
+    miss = t_best >= F32_MAX
+    uw = jnp.sum(onehot * u, axis=1)
+    vw = jnp.sum(onehot * v, axis=1)
+    a = onehot @ attrs  # [N, 17]: normals 0:9, uvs 9:15, inst 15, mat 16
+    normal = (a[:, 0:3] + uw[:, None] * (a[:, 3:6] - a[:, 0:3])
+              + vw[:, None] * (a[:, 6:9] - a[:, 0:3]))
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-10)
+    uv = jnp.stack(
+        [a[:, 9] + uw * (a[:, 11] - a[:, 9]) + vw * (a[:, 13] - a[:, 9]),
+         a[:, 10] + uw * (a[:, 12] - a[:, 10]) + vw * (a[:, 14] - a[:, 10])],
+        -1)
+    tt = jnp.where(miss, 65535.0, t_best)  # DISTANCE_MAX (light.wgsl:23)
+    pos = ro + rd * tt[:, None]
+    return {
+        "t": jnp.where(miss, F32_MAX, t_best),
+        "prim": jnp.where(miss, -1, prim.astype(jnp.int32)),
+        "instance": jnp.where(
+            miss, -1, jnp.round(a[:, 15]).astype(jnp.int32)),
+        "position": jnp.concatenate(
+            [pos, jnp.where(miss, 0.0, 1.0)[:, None]], -1),
+        "normal": jnp.where(miss[:, None], 0.0, normal),
+        "uv": jnp.where(miss[:, None], 0.0, uv),
+        "material": jnp.where(
+            miss, -1, jnp.round(a[:, 16]).astype(jnp.int32)),
+    }
+
+
+def _attach_probe(trace, use_pallas: bool, brute_force_max: int):
+    """Fast light-probe engine: the probe ray is include-masked to one
+    emissive instance (light.wgsl:672-683), so only emissive instances'
+    triangles can win — stream scene["em_tri_pos_flat"] (tiny) instead of
+    the whole scene."""
+
+    def probe_info(scene, ro, rd, max_t, exclude_instance=None,
+                   include_instance=None):
+        n = ro.shape[0]
+        if exclude_instance is None:
+            exclude_instance = jnp.full((n,), -1, jnp.int32)
+        if include_instance is None:
+            include_instance = jnp.full((n,), -1, jnp.int32)
+        em = scene.get("em_tri_pos_flat") if hasattr(scene, "get") else None
+        if em is None:
+            return trace.with_info(scene, ro, rd, max_t, exclude_instance,
+                                   include_instance)
+        if use_pallas and em.shape[0] <= brute_force_max:
+            from hikari_tpu.ops.trace_pallas import pallas_brute_force_full
+
+            return pallas_brute_force_full(em, scene["em_tri_attr"], ro, rd,
+                                           max_t, exclude_instance,
+                                           include_instance)
+        if em.shape[0] <= 256:
+            return _probe_all_pairs(em, scene["em_tri_attr"], ro, rd, max_t,
+                                    exclude_instance, include_instance)
+        return trace.with_info(scene, ro, rd, max_t, exclude_instance,
+                               include_instance)
+
+    trace.probe_info = probe_info
+
+
 def _default_with_info(trace_fn):
     """hit + hit_info composition for engines without a fused variant."""
 
@@ -237,14 +331,13 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
     VMEM-resident ray tile — measured ~1000x the XLA formulation), XLA scan
     elsewhere. Large scenes: lockstep BVH traversal.
     """
-    use_pallas = False
-    if num_triangles <= brute_force_max:
-        try:
-            use_pallas = any(d.platform != "cpu" for d in jax.devices())
-        except Exception:
-            use_pallas = False
+    try:
+        on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        on_tpu = False
+    use_pallas = on_tpu and num_triangles <= brute_force_max
 
-    if num_triangles <= brute_force_max and use_pallas:
+    if use_pallas:
         from hikari_tpu.ops.trace_pallas import (
             pallas_brute_force,
             pallas_brute_force_full,
@@ -297,6 +390,7 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
                                 include_instance, early_distance)
         trace.with_info = _default_with_info(trace)
         trace.kind = "bvh"
+    _attach_probe(trace, on_tpu, brute_force_max)
     return trace
 
 

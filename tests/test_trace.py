@@ -143,3 +143,65 @@ def test_hit_info_normals():
     info2 = hit_info(sc, ro, rd, res2)
     assert info2["instance"][0] == -1
     assert np.asarray(info2["position"])[0, 3] == 0.0
+
+
+def emissive_scene():
+    sc = Scene()
+    cube_id = sc.add_mesh(shapes.cube(1.0))
+    plane_id = sc.add_mesh(shapes.plane(8.0))
+    quad_id = sc.add_mesh(shapes.quad(1.0, 1.0))
+    m0 = sc.add_material(StandardMaterial.from_color(0.8, 0.7, 0.6))
+    m1 = sc.add_material(StandardMaterial.from_color(0.3, 0.5, 0.3))
+    me = sc.add_material(StandardMaterial(emissive=(1.0, 0.8, 0.5, 1.0)))
+    sc.spawn(cube_id, m0, make_transform((0, 0.5, 0)))
+    sc.spawn(plane_id, m1, make_transform((0, 0, 0)))
+    sc.spawn(quad_id, me, make_transform((0, 2.5, 0)))
+    return sc
+
+
+def test_emissive_tri_tables():
+    gpu = emissive_scene().compile()
+    a = gpu.arrays
+    em = a["em_tri_pos_flat"]
+    inst = np.round(np.asarray(em[:, 9])).astype(int)
+    real = inst[inst >= 0]
+    # exactly the emissive instance's triangles, padded to a multiple of 8
+    assert (real == 2).all() and len(real) == 2
+    assert em.shape[0] % 8 == 0
+    assert a["em_tri_attr"].shape[0] == em.shape[0]
+
+
+def test_probe_info_matches_with_info():
+    """probe_info must reproduce with_info exactly for include-masked rays
+    (the only lanes select_light_candidate consumes)."""
+    from hikari_tpu.ops.trace import make_tracer
+
+    gpu = emissive_scene().compile()
+    scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
+    tracer = make_tracer(gpu.num_triangles)
+
+    rng = np.random.default_rng(3)
+    n = 256
+    ro = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    ro[:, 1] = rng.uniform(0.1, 1.5, n)
+    # aim at the emissive quad (instance 2) from below
+    target = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    target[:, 1] = 2.5
+    rd = target - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    mt = np.full(n, 3.4e38, np.float32)
+    inc = np.full(n, 2, np.int32)
+
+    ref = tracer.with_info(scene, ro, rd, mt, None, inc)
+    probe = tracer.probe_info(scene, ro, rd, mt, None, inc)
+    hit = np.asarray(ref["instance"]) >= 0
+    assert hit.any()
+    assert (np.asarray(probe["instance"]) == np.asarray(ref["instance"])).all()
+    np.testing.assert_allclose(np.asarray(probe["t"])[hit],
+                               np.asarray(ref["t"])[hit], rtol=1e-5)
+    for k in ("position", "normal", "uv"):
+        np.testing.assert_allclose(np.asarray(probe[k])[hit],
+                                   np.asarray(ref[k])[hit],
+                                   rtol=1e-4, atol=1e-5)
+    assert (np.asarray(probe["material"])[hit]
+            == np.asarray(ref["material"])[hit]).all()
