@@ -38,6 +38,7 @@ from hikari_tpu.config import (
     HikariUniversalSettings,
     Taa,
     Upscale,
+    UpscaleMode,
 )
 from hikari_tpu.camera import Camera, PerspectiveProjection, look_at
 from hikari_tpu.models.material import StandardMaterial
@@ -52,6 +53,7 @@ __all__ = [
     "HikariUniversalSettings",
     "Taa",
     "Upscale",
+    "UpscaleMode",
     "Camera",
     "PerspectiveProjection",
     "look_at",

@@ -77,11 +77,21 @@ class Renderer:
     def update_scene(self, scene: Scene, fast: bool = False):
         """Refresh the device scene. fast=True keeps topology and refits
         (per-frame animation path); otherwise full recompile."""
+        old_arrays = self.gpu_scene.arrays
+        old_dev = self.scene_dev
         if fast:
             self.gpu_scene = self.gpu_scene.update_transforms(scene)
+            # update_transforms only replaces the host arrays it touched;
+            # reuse device buffers for the untouched ones (textures etc. —
+            # re-uploading all ~100 MB per frame costs more than the refit)
+            self.scene_dev = {
+                k: old_dev[k]
+                if k in old_dev and old_arrays.get(k) is v else jnp.asarray(v)
+                for k, v in self.gpu_scene.arrays.items()
+            }
         else:
             self.gpu_scene = scene.compile()
-        self.scene_dev = self.gpu_scene.as_pytree()
+            self.scene_dev = self.gpu_scene.as_pytree()
 
     def render_frame(self) -> jnp.ndarray:
         """Render one frame; returns the final [H,W,4] image (device array).
