@@ -25,8 +25,13 @@ def build_scene() -> Scene:
 
 
 if __name__ == "__main__":
+    import dataclasses
+
     from hikari_tpu import HikariSettings
 
     args = parse_args("cornell: emissive box via alias-table NEE")
+    # cornell.rs:17 inserts ClearColor(Color::BLACK)
+    settings = dataclasses.replace(HikariSettings(),
+                                   clear_color=(0.0, 0.0, 0.0, 1.0))
     run(build_scene(), dict(eye=(0.0, 1.0, 4.0), target=(0.0, 1.0, 0.0)),
-        HikariSettings(), args, "cornell")
+        settings, args, "cornell")
