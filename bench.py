@@ -58,6 +58,11 @@ def main():
         and _o.environ.get("BENCH_TAA", "1") == "1" else Taa.NONE,
         upscale=Upscale.smaa_tu4x(2.0) if upscale_mode == "smaa2"
         else Upscale.none(),
+        # checkerboard lighting (half the lighting rays/frame, reconstructed
+        # depth/normal-aware; ops/checkerboard.py) — the TPU-native analog of
+        # the reference's own quarter-res lighting default. Ray accounting
+        # below reflects the halved count honestly.
+        checkerboard_lighting=_o.environ.get("BENCH_CKB", "1") == "1",
     )
     cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
     r = Renderer(scene, cam, settings)
@@ -79,6 +84,8 @@ def main():
 
     rh, rw = scaled_size((height, width), settings.upscale_ratio)
     n_render = rh * rw
+    if settings.checkerboard_lighting:
+        n_render //= 2  # half the lighting rays per frame
     rays = height * width + n_render * (1 + 2 + 3 * settings.indirect_bounces)
     mrays = rays / dt / 1e6
 

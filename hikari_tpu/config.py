@@ -93,6 +93,19 @@ class HikariSettings:
     denoise: bool = True
     taa: Taa = Taa.JASMINE
     upscale: Upscale = dataclasses.field(default_factory=Upscale)
+    # TPU extension (not in the reference's 15 fields): trace lighting for
+    # half the pixels per frame on an alternating checkerboard and
+    # reconstruct the rest depth/normal-aware (ops/checkerboard.py). The
+    # reference's own default already runs lighting at quarter resolution
+    # (SmaaTu4x ratio 2, lib.rs:436-455); this is the same ray-count lever
+    # expressed TPU-natively. Off by default for reference parity.
+    checkerboard_lighting: bool = False
+    # TPU extension: per-pixel decorrelation of the spatial-reuse spiral via
+    # blue-noise-selected 90-degree spiral rotations (the gather-free analog
+    # of light.wgsl:1566-1572's per-pixel scramble; see
+    # ops/restir.spatial_reuse). Off by default: the per-frame rotation +
+    # denoiser is visually close and cheaper.
+    spatial_tap_scramble: bool = False
 
     @property
     def upscale_ratio(self) -> float:
@@ -114,6 +127,8 @@ class HikariSettings:
             self.emissive_spatial_reuse,
             self.indirect_spatial_reuse,
             self.indirect_bounces,
+            self.checkerboard_lighting,
+            self.spatial_tap_scramble,
         )
 
 

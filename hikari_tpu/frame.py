@@ -78,17 +78,24 @@ def _zero_packed_where(mask, packed):
 
 def build_render_frame(settings: HikariSettings, full_size, tracer,
                        no_texture: bool, debug: bool = False,
-                       num_emissives: int = 1):
+                       num_emissives: int = 1, has_sun: bool = True):
     """Returns render_frame(scene, view, frame_uniform, noise, carry) ->
     (image [H,W,4], albedo [H,W,4], carry[, debug_dict]). Specialized on
-    static settings. debug=True additionally returns per-pass intermediates
-    (the analog of the reference's assets/screenshots/dissection images)."""
+    static settings (incl. scene-shape facts: emissive count, sun presence —
+    the analog of the reference's pipeline-key specialization). debug=True
+    additionally returns per-pass intermediates (the analog of the
+    reference's assets/screenshots/dissection images)."""
     render_size = scaled_size(full_size, settings.upscale_ratio)
     taa = settings.taa
     upscale = settings.upscale
     ratio = settings.upscale_ratio
     track_de = settings.emissive_spatial_reuse
     track_ind = settings.indirect_spatial_reuse and settings.indirect_bounces > 0
+    # channels that actually trace rays this configuration
+    chan_active = (has_sun, num_emissives > 0, settings.indirect_bounces > 0)
+    # checkerboard lighting needs an even render width (ops/checkerboard.py)
+    ckb = settings.checkerboard_lighting and render_size[1] % 2 == 0
+    scramble = settings.spatial_tap_scramble
 
     def render_frame(scene, view, frame, noise, carry):
         prev_view = {"view_proj": carry["prev_view_proj"],
@@ -103,46 +110,104 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         rand = sample_blue_noise(noise, frame["number"], render_size)
         reproj = restir.reprojection(g, frame, render_size)
 
-        # ONE combined reprojection gather for all three channels
-        if settings.temporal_reuse:
-            combined = jnp.concatenate(
-                [carry["direct_temporal"], carry["emissive_temporal"],
-                 carry["indirect_temporal"]], axis=-1)
-            rh, rw, f3 = combined.shape
-            flat = combined.reshape(rh * rw, f3)
-            idx = (reproj["piy"] * rw + reproj["pix"]).reshape(-1)
-            gathered = jnp.take(flat, idx, axis=0).reshape(rh, rw, f3)
-            gathered = jnp.where(reproj["in_strict"][..., None], gathered, 0.0)
-            fw = rsv.PACKED_WIDTH
-            prev_rs = []
-            for c in range(3):
-                r = rsv.unpack_reservoir(gathered[..., c * fw:(c + 1) * fw])
-                r["visible_instance"] = jnp.where(
-                    reproj["in_strict"], r["visible_instance"], -1)
-                prev_rs.append(r)
-        else:
-            prev_rs = [rsv.empty_reservoir(render_size) for _ in range(3)]
+        # checkerboard lighting (ops/checkerboard.py): lighting channels run
+        # on the compressed [h, w/2] active-pixel domain; reservoir carries
+        # stay full-res so temporal/spatial ReSTIR sees every pixel
+        if ckb:
+            from hikari_tpu.ops import checkerboard as ckb_ops
 
-        # --- direct channel (RENDER_EMISSIVE)
+            par = ckb_ops.frame_parity(frame["number"])
+            amask = ckb_ops.active_mask(par, render_size)
+            g_l = {k: ckb_ops.compress(v, par) for k, v in g.items()}
+            rand_l = ckb_ops.compress(rand, par)
+            reproj_l = restir.reprojection_ckb(g_l, frame, render_size, par)
+            light_size = (render_size[0], render_size[1] // 2)
+        else:
+            g_l, rand_l, reproj_l = g, rand, reproj
+            light_size = render_size
+
+        def to_full(render_c, var_c):
+            """Expand a lighting-domain (render, variance) pair to full
+            render res, filling inactive pixels depth/normal-aware."""
+            if not ckb:
+                return render_c, var_c
+            rf = ckb_ops.reconstruct(ckb_ops.expand(render_c, par), amask,
+                                     g["position"][..., 3], g["normal"])
+            vf = ckb_ops.reconstruct(ckb_ops.expand(var_c[..., None], par),
+                                     amask, g["position"][..., 3],
+                                     g["normal"])[..., 0]
+            return rf, vf
+
+        def temporal_full_packed(r_l, carry_key):
+            """This frame's temporal reservoirs as a full-res packed tensor
+            (active pixels new, inactive keep the carry's)."""
+            p = rsv.pack_reservoir(r_l)
+            if not ckb:
+                return p
+            return ckb_ops.merge_packed(p, carry[carry_key], par)
+
+        # ONE combined reprojection gather for the channels that trace
+        # (statically inactive channels — no sun / no emissives / 0 bounces —
+        # are trimmed from the gather row entirely)
+        carry_keys = ("direct_temporal", "emissive_temporal",
+                      "indirect_temporal")
+        prev_rs = [rsv.empty_reservoir(light_size) for _ in range(3)]
+        gathered_chans = [c for c in range(3)
+                          if chan_active[c] and settings.temporal_reuse]
+        if gathered_chans:
+            combined = jnp.concatenate(
+                [carry[carry_keys[c]] for c in gathered_chans], axis=-1)
+            rh, rw = render_size
+            f3 = combined.shape[-1]
+            flat = combined.reshape(rh * rw, f3)
+            idx = (reproj_l["piy"] * rw + reproj_l["pix"]).reshape(-1)
+            gathered = jnp.take(flat, idx, axis=0).reshape(light_size + (f3,))
+            gathered = jnp.where(reproj_l["in_strict"][..., None], gathered,
+                                 0.0)
+            fw = rsv.PACKED_WIDTH
+            for j, c in enumerate(gathered_chans):
+                r = rsv.unpack_reservoir(gathered[..., j * fw:(j + 1) * fw])
+                r["visible_instance"] = jnp.where(
+                    reproj_l["in_strict"], r["visible_instance"], -1)
+                prev_rs[c] = r
+
+        # --- direct channel (RENDER_EMISSIVE); when the scene has no sun the
+        # solar NEE term is identically zero, so the shadow trace is skipped
+        # statically and only the surface-emission add remains
         spatial_de = carry["spatial_de"]
-        d = restir.direct_lit(
-            scene, tracer, g, view, frame, rand, reproj, prev_rs[0],
-            spatial_de if track_de else None,
-            emissive_lit=False, temporal_reuse=settings.temporal_reuse,
-            no_texture=no_texture, track_spatial=track_de,
-            render_size=render_size)
-        if track_de:
-            spatial_de = d["prev_spatial_packed"]
+        d_temporal_packed = carry["direct_temporal"]
+        if has_sun:
+            d = restir.direct_lit(
+                scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[0],
+                spatial_de if track_de else None,
+                emissive_lit=False, temporal_reuse=settings.temporal_reuse,
+                no_texture=no_texture, track_spatial=track_de,
+                render_size=light_size)
+            if track_de:
+                spatial_de = d["prev_spatial_packed"]
+            d_render, d_var = to_full(d["render"], d["variance"])
+            if settings.temporal_reuse:
+                d_temporal_packed = temporal_full_packed(d["temporal"],
+                                                         "direct_temporal")
+        else:
+            d = restir.emissive_surface_channel(scene, g, no_texture,
+                                                render_size)
+            d_render, d_var = d["render"], d["variance"]
 
         # --- emissive channel (EMISSIVE_LIT); statically skipped when the
         # scene has no emissive instances (nothing to sample)
+        e_temporal_packed = carry["emissive_temporal"]
         if num_emissives > 0:
             e = restir.direct_lit(
-                scene, tracer, g, view, frame, rand, reproj, prev_rs[1],
+                scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[1],
                 spatial_de if track_de else None,
                 emissive_lit=True, temporal_reuse=settings.temporal_reuse,
                 no_texture=no_texture, track_spatial=track_de,
-                render_size=render_size)
+                render_size=light_size)
+            e_render, e_var = to_full(e["render"], e["variance"])
+            if settings.temporal_reuse or (track_de and ckb):
+                e_temporal_packed = temporal_full_packed(e["temporal"],
+                                                         "emissive_temporal")
         else:
             rh2, rw2 = render_size
             e = {"render": jnp.zeros((rh2, rw2, 4)),
@@ -150,13 +215,20 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                  "temporal": rsv.empty_reservoir(render_size),
                  "prev_spatial_packed": spatial_de if track_de else None,
                  "valid": valid}
-        e_render, e_var = e["render"], e["variance"]
+            e_render, e_var = e["render"], e["variance"]
         if track_de and num_emissives > 0:
             spatial_de = e["prev_spatial_packed"]
+            # spatial reuse runs at FULL render res: under checkerboard the
+            # merged reservoir field (new actives + carried inactives) gives
+            # every pixel a temporal reservoir to merge from
+            e_temporal_for_spatial = (rsv.unpack_reservoir(e_temporal_packed)
+                                      if ckb else e["temporal"])
             sp = restir.spatial_reuse(
-                scene, g, view, frame, e["temporal"], spatial_de, reproj,
-                emissive_lit=True, no_texture=no_texture,
-                render_size=render_size)
+                scene, g, view, frame, e_temporal_for_spatial, spatial_de,
+                reproj, emissive_lit=True, no_texture=no_texture,
+                render_size=render_size,
+                scramble_bits=(rand[..., 3] * 4.0).astype(jnp.int32) & 3
+                if scramble else None)
             spatial_de = rsv.pack_reservoir(sp["spatial"])
             e_render = sp["render"]
             e_var = jnp.where(jnp.isnan(sp["variance"]), e_var, sp["variance"])
@@ -164,35 +236,49 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         # --- indirect channel
         spatial_ind = carry["spatial_indirect"]
+        i_temporal_packed = carry["indirect_temporal"]
         i = restir.indirect_lit_ambient(
-            scene, tracer, g, view, frame, rand, reproj, prev_rs[2],
+            scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[2],
             spatial_ind if track_ind else None,
             bounces=settings.indirect_bounces,
             temporal_reuse=settings.temporal_reuse,
             no_texture=no_texture, track_spatial=track_ind,
-            render_size=render_size)
-        i_render, i_var = i["render"], i["variance"]
+            render_size=light_size)
+        if settings.indirect_bounces > 0:
+            i_render, i_var = to_full(i["render"], i["variance"])
+            if settings.temporal_reuse or (track_ind and ckb):
+                i_temporal_packed = temporal_full_packed(i["temporal"],
+                                                         "indirect_temporal")
+        else:
+            rh2, rw2 = render_size
+            i_render = jnp.zeros((rh2, rw2, 4))
+            i_var = jnp.zeros((rh2, rw2))
         if track_ind:
             spatial_ind = i["prev_spatial_packed"]
+            i_temporal_for_spatial = (rsv.unpack_reservoir(i_temporal_packed)
+                                      if ckb else i["temporal"])
             sp = restir.spatial_reuse(
-                scene, g, view, frame, i["temporal"], spatial_ind, reproj,
-                emissive_lit=False, no_texture=no_texture,
-                render_size=render_size)
+                scene, g, view, frame, i_temporal_for_spatial, spatial_ind,
+                reproj, emissive_lit=False, no_texture=no_texture,
+                render_size=render_size,
+                scramble_bits=(rand[..., 2] * 4.0).astype(jnp.int32) & 3
+                if scramble else None)
             spatial_ind = rsv.pack_reservoir(sp["spatial"])
             i_render = sp["render"]
             i_var = jnp.where(jnp.isnan(sp["variance"]), i_var, sp["variance"])
             spatial_ind = _zero_packed_where(~valid, spatial_ind)
-
-        d_render, d_var = d["render"], d["variance"]
 
         # --- post process
         if settings.denoise:
             from hikari_tpu.ops.denoise import denoise_channel
 
             # firefly filtering: off for direct, on for emissive/indirect
-            # (post_process.rs:773-784, 1192-1196)
-            d_render = denoise_channel(g, albedo, d_render, d_var, frame,
-                                       render_size, ratio, firefly=False)
+            # (post_process.rs:773-784, 1192-1196). With no sun the direct
+            # channel is a deterministic surface-emission term with zero
+            # variance — denoising it is a no-op by construction, so skip.
+            if has_sun:
+                d_render = denoise_channel(g, albedo, d_render, d_var, frame,
+                                           render_size, ratio, firefly=False)
             if num_emissives > 0:
                 e_render = denoise_channel(g, albedo, e_render, e_var, frame,
                                            render_size, ratio, firefly=True)
@@ -210,12 +296,15 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         new_carry = {
             "frame_number": frame["number"] + 1,
-            "direct_temporal": rsv.pack_reservoir(d["temporal"])
-            if settings.temporal_reuse else carry["direct_temporal"],
-            "emissive_temporal": rsv.pack_reservoir(e["temporal"])
-            if settings.temporal_reuse else carry["emissive_temporal"],
-            "indirect_temporal": rsv.pack_reservoir(i["temporal"])
-            if settings.temporal_reuse else carry["indirect_temporal"],
+            "direct_temporal": d_temporal_packed
+            if settings.temporal_reuse and has_sun
+            else carry["direct_temporal"],
+            "emissive_temporal": e_temporal_packed
+            if settings.temporal_reuse and num_emissives > 0
+            else carry["emissive_temporal"],
+            "indirect_temporal": i_temporal_packed
+            if settings.temporal_reuse and settings.indirect_bounces > 0
+            else carry["indirect_temporal"],
             "spatial_de": spatial_de,
             "spatial_indirect": spatial_ind,
             "prev_gbuffer": {

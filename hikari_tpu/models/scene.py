@@ -162,6 +162,13 @@ class GpuScene:
 
         return {k: jnp.asarray(v) for k, v in self.arrays.items()}
 
+    @property
+    def has_sun(self) -> bool:
+        """True iff the directional light contributes (color*illuminance>0);
+        static per compile — lets the pipeline skip the direct channel's
+        shadow trace when cornell-style scenes spawn no sun."""
+        return bool(np.any(np.abs(self.arrays["dir_color"][:3]) > 0.0))
+
     # ------------------------------------------------------------------
     def update_transforms(self, scene: "Scene") -> "GpuScene":
         """Fast per-frame path for animated scenes (the analog of the
@@ -295,6 +302,19 @@ def _add_emissive_tri_tables(arrays) -> None:
     pad_attr[:, 15] = -1.0
     arrays["em_tri_pos_flat"] = np.concatenate([pos, pad_pos], axis=0)
     arrays["em_tri_attr"] = np.concatenate([attr, pad_attr], axis=0)
+    # per-instance row offset into the emissive table: instance triangles
+    # are contiguous in tri_pos_flat, so they stay contiguous after masking.
+    # Lets select_light_candidate gather the sampled emitter triangle from
+    # this (tiny) table instead of sweeping the full scene table — the full
+    # 40-row sweep alone measured 6.6 ms at 1080p (tools/probe_channel.py s5)
+    masked_inst = np.round(pos[:, 9]).astype(np.int64) if len(pos) else \
+        np.zeros(0, np.int64)
+    n_inst = len(arrays["inst_prim_offset"])
+    offs = np.zeros(n_inst, np.float32)
+    if len(masked_inst):
+        uniq, first = np.unique(masked_inst, return_index=True)
+        offs[uniq] = first.astype(np.float32)
+    arrays["em_inst_tri_offset_f"] = offs
 
 
 def compile_scene(scene: Scene, universal=None) -> GpuScene:

@@ -179,6 +179,26 @@ def reprojection(g, frame, render_size):
     }
 
 
+def reprojection_ckb(g_c, frame, render_size, par):
+    """`reprojection` for the compressed checkerboard domain: uv are the
+    TRUE pixel centers of this frame's active pixels; piy/pix index the
+    FULL-resolution reservoir carry."""
+    from hikari_tpu.ops import checkerboard as ckb
+
+    uv = ckb.pixel_uv(render_size, par)
+    velocity = g_c["velocity_uv"][..., :2]
+    previous_uv = uv - velocity
+    piy, pix = uv_to_coords(previous_uv, render_size)
+    return {
+        "uv": uv,
+        "previous_uv": previous_uv,
+        "piy": piy,
+        "pix": pix,
+        "in_strict": in_unit_box(previous_uv, strict=True),
+        "in_loose": in_unit_box(previous_uv, strict=False),
+    }
+
+
 def make_sample_from_gbuffer(g, noise_rand, render_size):
     h, w = render_size
     depth = g["position"][..., 3]
@@ -251,8 +271,10 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
         trace_ok = (dot3(rd, nrm_f) > 0.0) & (cand["p"] > 0.0)
         if emissive_lit:
             trace_ok &= cand["emissive_instance"] >= 0
-        hit = tracer(scene, ro, rd, cand["max_distance"],
-                     cand["emissive_instance"], None, cand["min_distance"])
+        shadow_trace = getattr(tracer, "shadow", tracer)
+        hit = shadow_trace(scene, ro, rd, cand["max_distance"],
+                           cand["emissive_instance"], None,
+                           cand["min_distance"])
         info = occlude_hit_info(ro, rd, hit, info)
         rad = input_radiance(
             scene, rd, info["instance"], info["material"], info["uv"],
@@ -291,8 +313,10 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
         trace_ok = (dot3(cand["direction"], r_nrm) > 0.0) & (cand["p"] > 0.0)
         if emissive_lit:
             trace_ok &= cand["emissive_instance"] >= 0
-        hit = tracer(scene, ro, rd, cand["max_distance"],
-                     cand["emissive_instance"], None, cand["min_distance"])
+        shadow_trace = getattr(tracer, "shadow", tracer)
+        hit = shadow_trace(scene, ro, rd, cand["max_distance"],
+                           cand["emissive_instance"], None,
+                           cand["min_distance"])
         info = occlude_hit_info(ro, rd, hit, info)
         vrad = input_radiance(
             scene, rd, info["instance"], info["material"], info["uv"],
@@ -363,6 +387,29 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
             "surface": surface, "view_dir": view_dir, "valid": valid}
 
 
+def emissive_surface_channel(scene, g, no_texture: bool, render_size):
+    """Direct channel specialization for scenes with NO directional light
+    (e.g. cornell.rs spawns no sun): the solar NEE term is identically zero,
+    so only RENDER_EMISSIVE's surface-emission add remains
+    (light.wgsl:1237-1247) — zero rays, zero reservoir state. The reference
+    still dispatches direct_lit in this case; skipping it statically is a
+    pure win (one full-scene shadow trace per frame)."""
+    h, w = render_size
+    depth = g["position"][..., 3]
+    valid = depth >= F32_EPSILON
+    material = g["instance_material"][..., 1].astype(jnp.int32)
+    mesh_uv = g["velocity_uv"][..., 2:4]
+    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    out = compute_emissive_radiance(surface["emissive"])
+    render = jnp.where(valid[..., None],
+                       jnp.concatenate([out, jnp.ones_like(depth)[..., None]],
+                                       -1), 0.0)
+    return {"render": render, "variance": jnp.zeros((h, w)),
+            "temporal": rsv.empty_reservoir(render_size),
+            "prev_spatial_packed": None, "reservoir": None,
+            "surface": surface, "view_dir": None, "valid": valid}
+
+
 # ---------------------------------------------------------------------------
 # indirect channel (light.wgsl:1264-1498)
 # ---------------------------------------------------------------------------
@@ -423,8 +470,10 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
 
         nee_ok = (dot3(cand["direction"], info["normal"]) > 0.0) & (cand["p"] > 0.0)
         ro2 = info["position"][..., :3] + info["normal"] * RAY_BIAS
-        hit2 = tracer(scene, ro2, cand["direction"], cand["max_distance"],
-                      cand["emissive_instance"], None, cand["min_distance"])
+        shadow_trace = getattr(tracer, "shadow", tracer)
+        hit2 = shadow_trace(scene, ro2, cand["direction"],
+                            cand["max_distance"], cand["emissive_instance"],
+                            None, cand["min_distance"])
         cinfo = occlude_hit_info(ro2, cand["direction"], hit2, cinfo)
         in_rad = input_radiance(
             scene, cand["direction"], cinfo["instance"], cinfo["material"],
@@ -532,13 +581,18 @@ def compute_jacobian(q_s, s):
 
 def spatial_reuse(scene, g, view, frame, temporal_r, prev_spatial_packed,
                   reproj, *, emissive_lit: bool, no_texture: bool,
-                  render_size):
+                  render_size, scramble_bits=None):
     """Spatial ReSTIR pass for the emissive / indirect channels.
 
     temporal_r: this frame's temporal reservoirs. Neighbor taps are rolls of
     the packed temporal tensor (per-frame-correlated spiral, see module
-    docstring). Returns dict(render, variance(NaN where untouched), spatial
-    (dict), valid).
+    docstring). scramble_bits (optional [h,w] int32 in 0..3, blue-noise):
+    per-pixel decorrelation of the spiral — each pixel picks one of the four
+    90-degree rotations of the frame's spiral, so neighbor taps are no
+    longer identically offset across the image (the gather-free analog of
+    the reference's per-pixel spiral scramble, light.wgsl:1566-1572; enabled
+    by HikariSettings.spatial_tap_scramble). Returns dict(render,
+    variance(NaN where untouched), spatial (dict), valid).
     """
     h, w = render_size
     count_taps = 8 if emissive_lit else 16
@@ -591,14 +645,58 @@ def spatial_reuse(scene, g, view, frame, temporal_r, prev_spatial_packed,
         radius = jnp.sqrt(fi / count_taps) * reuse_range
         off_x = radius * jnp.cos(angle)
         off_y = radius * jnp.sin(angle)
-        oy = jnp.round(off_y).astype(jnp.int32)
-        ox = jnp.round(off_x).astype(jnp.int32)
 
-        q = rsv.unpack_reservoir(roll2d(temporal_packed, oy, ox))
-        sample_depth = roll2d(depth, oy, ox)
-        in_b = (((ys + oy) >= 0) & ((ys + oy) < h)
-                & ((xs + ox) >= 0) & ((xs + ox) < w))
+        # with scrambling: evaluate the tap at all four 90° rotations of the
+        # spiral (cheap rolls) and let each pixel pick one by blue noise
+        variants = [(off_y, off_x)]
+        if scramble_bits is not None:
+            variants = [(off_y, off_x), (off_x, -off_y),
+                        (-off_y, -off_x), (-off_x, off_y)]
 
+        tap_interval = jnp.maximum(1.0, radius / (spatial_taps + 1))
+        tap_count = (radius / tap_interval).astype(jnp.int32)
+        inv_len = 1.0 / jnp.maximum(radius, 1e-5)
+
+        q_packs, s_depths, in_bs, occs = [], [], [], []
+        for off_y_v, off_x_v in variants:
+            oy = jnp.round(off_y_v).astype(jnp.int32)
+            ox = jnp.round(off_x_v).astype(jnp.int32)
+            q_packs.append(roll2d(temporal_packed, oy, ox))
+            sdep = roll2d(depth, oy, ox)
+            s_depths.append(sdep)
+            in_bs.append(((ys + oy) >= 0) & ((ys + oy) < h)
+                         & ((xs + ox) >= 0) & ((xs + ox) < w))
+            # screen-space depth ray-march occlusion (light.wgsl:1608-1628)
+            occluded = jnp.zeros((h, w), bool)
+            for j in range(1, spatial_taps + 2):
+                tap_on = j <= tap_count
+                tdist = j * tap_interval
+                toy = jnp.round(tdist * off_y_v * inv_len).astype(jnp.int32)
+                tox = jnp.round(tdist * off_x_v * inv_len).astype(jnp.int32)
+                tap_depth = roll2d(depth, toy, tox)
+                ref_depth = depth + (sdep - depth) * (
+                    j / (tap_count.astype(jnp.float32) + 1.0))
+                occluded |= tap_on & (tap_depth > ref_depth + 1e-5)
+            occs.append(occluded)
+
+        if len(variants) == 1:
+            q_pack, sample_depth, in_b, occluded = (
+                q_packs[0], s_depths[0], in_bs[0], occs[0])
+        else:
+            def pick(vals, nd):
+                out = vals[0]
+                for k in range(1, 4):
+                    m = scramble_bits == k
+                    out = jnp.where(m[..., None] if nd == 3 else m,
+                                    vals[k], out)
+                return out
+
+            q_pack = pick(q_packs, 3)
+            sample_depth = pick(s_depths, 2)
+            in_b = pick(in_bs, 2)
+            occluded = pick(occs, 2)
+
+        q = rsv.unpack_reservoir(q_pack)
         depth_ratio = depth / jnp.where(sample_depth == 0.0, 1e-30, sample_depth)
         ok = in_b & (depth_ratio >= 0.9) & (depth_ratio <= 1.1)
         ok &= q["count"] >= F32_EPSILON
@@ -606,21 +704,6 @@ def spatial_reuse(scene, g, view, frame, temporal_r, prev_spatial_packed,
         sample_dir = normalize(q["sample_position"][..., :3]
                                - s["visible_position"][..., :3])
         ok &= dot3(sample_dir, s["visible_normal"]) >= 0.0
-
-        # screen-space depth ray-march occlusion (light.wgsl:1608-1628)
-        tap_interval = jnp.maximum(1.0, radius / (spatial_taps + 1))
-        tap_count = (radius / tap_interval).astype(jnp.int32)
-        inv_len = 1.0 / jnp.maximum(radius, 1e-5)
-        occluded = jnp.zeros((h, w), bool)
-        for j in range(1, spatial_taps + 2):
-            tap_on = j <= tap_count
-            tdist = j * tap_interval
-            toy = jnp.round(tdist * off_y * inv_len).astype(jnp.int32)
-            tox = jnp.round(tdist * off_x * inv_len).astype(jnp.int32)
-            tap_depth = roll2d(depth, toy, tox)
-            ref_depth = depth + (sample_depth - depth) * (
-                j / (tap_count.astype(jnp.float32) + 1.0))
-            occluded |= tap_on & (tap_depth > ref_depth + 1e-5)
         ok &= ~occluded
 
         jac = jnp.where(q["sample_position"][..., 3] > 0.5,

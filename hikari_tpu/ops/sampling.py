@@ -151,10 +151,18 @@ def select_light_candidate(scene, tracer, rand4, position, normal,
                            jnp.round(alias_row[:, 1]).astype(jnp.int32),
                            alias_index)
     em_inst = jnp.round(em_row[:, 8]).astype(jnp.int32)
-    prim = (jnp.round(table_gather(scene["inst_prim_offset_f"], em_inst))
+    # gather the sampled triangle's vertices from the emissive-only table
+    # when available (tiny sweep) instead of the full scene table
+    em_table = scene.get("em_tri_pos_flat") if hasattr(scene, "get") else None
+    if em_table is not None and "em_inst_tri_offset_f" in scene:
+        em_prim = (jnp.round(
+            table_gather(scene["em_inst_tri_offset_f"], em_inst))
             .astype(jnp.int32) + prim_local)
-
-    v = table_gather(scene["tri_pos_flat"], prim)[:, :9].reshape(-1, 3, 3)
+        v = table_gather(em_table, em_prim)[:, :9].reshape(-1, 3, 3)
+    else:
+        prim = (jnp.round(table_gather(scene["inst_prim_offset_f"], em_inst))
+                .astype(jnp.int32) + prim_local)
+        v = table_gather(scene["tri_pos_flat"], prim)[:, :9].reshape(-1, 3, 3)
     b = sample_uniform_triangle_barycentric(rand4[:, 2:4])
     p = (b[:, 0:1] * v[:, 0] + b[:, 1:2] * v[:, 1]
          + (1.0 - b[:, 0:1] - b[:, 1:2]) * v[:, 2])

@@ -341,6 +341,7 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
         from hikari_tpu.ops.trace_pallas import (
             pallas_brute_force,
             pallas_brute_force_full,
+            pallas_shadow,
         )
 
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
@@ -361,11 +362,34 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
                 exclude_instance = jnp.full((n,), -1, jnp.int32)
             if include_instance is None:
                 include_instance = jnp.full((n,), -1, jnp.int32)
+            # small tables: plain kernel + one-hot MXU attr resolve beats the
+            # fused-attr kernel (extra in-loop interpolation ~doubles its
+            # cost); the [N, P] one-hot only stays cheap for small P
+            if scene["tri_attr"].shape[0] <= 256:
+                h = pallas_brute_force(
+                    scene["tri_pos_flat"], ro, rd, max_t, exclude_instance,
+                    include_instance)
+                info = hit_info_onehot(scene, ro, rd, h)
+                info["t"] = h["t"]
+                info["prim"] = h["prim"]
+                return info
             return pallas_brute_force_full(
                 scene["tri_pos_flat"], scene["tri_attr"], ro, rd, max_t,
                 exclude_instance, include_instance)
 
+        def shadow(scene, ro, rd, max_t, exclude_instance=None,
+                   include_instance=None, early_distance=None):
+            del early_distance
+            n = ro.shape[0]
+            if exclude_instance is None:
+                exclude_instance = jnp.full((n,), -1, jnp.int32)
+            if include_instance is None:
+                include_instance = jnp.full((n,), -1, jnp.int32)
+            return pallas_shadow(scene["tri_pos_flat"], ro, rd, max_t,
+                                 exclude_instance, include_instance)
+
         trace.with_info = with_info
+        trace.shadow = shadow
         trace.kind = "brute_force_pallas"
     elif num_triangles <= brute_force_max:
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
@@ -392,6 +416,46 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
         trace.kind = "bvh"
     _attach_probe(trace, on_tpu, brute_force_max)
     return trace
+
+
+def hit_info_onehot(scene, ro, rd, hit):
+    """hit_info with the winner-attribute fetch as a one-hot matmul on the
+    MXU instead of a table sweep: for small tables (P <= ~256) the
+    [N, P] @ [P, 17] product beats both the 17-wide select sweep (~6.6 ms at
+    1080p x 40 rows, tools/probe_channel.py s5) and the fused-attr Pallas
+    kernel's extra in-loop work (~6 ms, s7 vs s2). Same contract as
+    hit_info."""
+    import jax
+
+    DISTANCE_MAX = 65535.0
+    attrs = scene["tri_attr"]
+    P = attrs.shape[0]
+    prim = jnp.maximum(hit["prim"], 0)
+    miss = hit["instance"] < 0
+    onehot = (prim[:, None] == jnp.arange(P, dtype=prim.dtype)[None, :])
+    a = jax.lax.dot_general(
+        onehot.astype(jnp.float32), attrs, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [N, 17]
+    u = hit["u"][:, None]
+    v = hit["v"][:, None]
+    n0, n1, n2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
+    normal = n0 + u * (n1 - n0) + v * (n2 - n0)
+    normal = normal * jax.lax.rsqrt(
+        jnp.maximum(dot3(normal, normal), 1e-20))[:, None]
+    uv0, uv1, uv2 = a[:, 9:11], a[:, 11:13], a[:, 13:15]
+    uv_i = uv0 + u * (uv1 - uv0) + v * (uv2 - uv0)
+    t = jnp.where(miss, DISTANCE_MAX, hit["t"])
+    pos = ro + rd * t[:, None]
+    position = jnp.concatenate(
+        [pos, jnp.where(miss, 0.0, 1.0)[:, None]], axis=-1)
+    material = jnp.where(miss, -1, jnp.round(a[:, 16]).astype(jnp.int32))
+    return {
+        "position": position,
+        "normal": jnp.where(miss[:, None], 0.0, normal),
+        "uv": jnp.where(miss[:, None], 0.0, uv_i),
+        "instance": hit["instance"],
+        "material": material,
+    }
 
 
 def hit_info(scene, ro, rd, hit):

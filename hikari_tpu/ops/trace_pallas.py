@@ -25,13 +25,17 @@ F32_MAX = 3.402823466e38
 F32_EPSILON = 1.1920929e-7
 
 _LANES = 128
-_SUBLANES = 8
-_TILE = _LANES * _SUBLANES  # rays per grid step
+# Rows of 128 rays per grid step. Measured (tools/probe_blocks.py): the
+# per-grid-step fixed overhead is ~8us on this TPU, so [8,128] blocks are
+# overhead-bound (16 ms for 2.07M rays x 40 tris) while [128,128] blocks are
+# compute-bound (5.2 ms). VMEM per step at 128 rows: ~0.7 MB + tables.
+_BLOCK_ROWS = 128
+_TILE = _LANES * _BLOCK_ROWS  # rays per grid step
 
 
 def _kernel_full(tris_ref, attr_ref, rox, roy, roz, rdx, rdy, rdz, maxt,
                  excl, incl, t_out, prim_out, nx_out, ny_out, nz_out,
-                 uvx_out, uvy_out, mat_out):
+                 uvx_out, uvy_out, mat_out, inst_out):
     """Intersection + in-loop attribute interpolation: the winning
     triangle's vertex normals/uvs are in scalar registers when it wins, so
     hit attributes (light.wgsl:496-523) cost nothing extra — no post-trace
@@ -44,7 +48,7 @@ def _kernel_full(tris_ref, attr_ref, rox, roy, roz, rdx, rdy, rdz, maxt,
     n_tris = tris_ref.shape[0]
 
     def body(j, carry):
-        (t_best, p_best, nxb, nyb, nzb, uvxb, uvyb, matb) = carry
+        (t_best, p_best, nxb, nyb, nzb, uvxb, uvyb, matb, instb) = carry
         row = tris_ref[pl.ds(j, 1), :]
         v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
         v1x, v1y, v1z = row[0, 3], row[0, 4], row[0, 5]
@@ -88,12 +92,14 @@ def _kernel_full(tris_ref, attr_ref, rox, roy, roz, rdx, rdy, rdz, maxt,
         return (jnp.where(ok, dist, t_best), jnp.where(ok, jf, p_best),
                 jnp.where(ok, nx, nxb), jnp.where(ok, ny, nyb),
                 jnp.where(ok, nz, nzb), jnp.where(ok, uvx, uvxb),
-                jnp.where(ok, uvy, uvyb), jnp.where(ok, a[0, 16], matb))
+                jnp.where(ok, uvy, uvyb), jnp.where(ok, a[0, 16], matb),
+                jnp.where(ok, inst, instb))
 
     z = jnp.zeros(ox.shape, jnp.float32)
     init = (jnp.full(ox.shape, F32_MAX, jnp.float32),
-            jnp.full(ox.shape, -1.0, jnp.float32), z, z, z, z, z, z)
-    t_best, p_best, nx, ny, nz, uvx, uvy, mat = jax.lax.fori_loop(
+            jnp.full(ox.shape, -1.0, jnp.float32), z, z, z, z, z, z,
+            jnp.full(ox.shape, -1.0, jnp.float32))
+    t_best, p_best, nx, ny, nz, uvx, uvy, mat, inst_b = jax.lax.fori_loop(
         0, n_tris, body, init)
     t_out[:] = t_best
     prim_out[:] = p_best
@@ -103,10 +109,11 @@ def _kernel_full(tris_ref, attr_ref, rox, roy, roz, rdx, rdy, rdz, maxt,
     uvx_out[:] = uvx
     uvy_out[:] = uvy
     mat_out[:] = mat
+    inst_out[:] = inst_b
 
 
 def _kernel(tris_ref, rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl,
-            t_out, u_out, v_out, prim_out):
+            t_out, u_out, v_out, prim_out, inst_out):
     ox, oy, oz = rox[:], roy[:], roz[:]
     dx, dy, dz = rdx[:], rdy[:], rdz[:]
     mt = maxt[:]
@@ -116,7 +123,7 @@ def _kernel(tris_ref, rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl,
     n_tris = tris_ref.shape[0]
 
     def body(j, carry):
-        t_best, u_best, v_best, p_best = carry
+        t_best, u_best, v_best, p_best, i_best = carry
         row = tris_ref[pl.ds(j, 1), :]  # [1, 10]
         v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
         v1x, v1y, v1z = row[0, 3], row[0, 4], row[0, 5]
@@ -153,24 +160,28 @@ def _kernel(tris_ref, rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl,
         )
         jf = j.astype(jnp.float32)
         return (jnp.where(ok, dist, t_best), jnp.where(ok, u, u_best),
-                jnp.where(ok, v, v_best), jnp.where(ok, jf, p_best))
+                jnp.where(ok, v, v_best), jnp.where(ok, jf, p_best),
+                jnp.where(ok, inst, i_best))
 
     init = (
         jnp.full(ox.shape, F32_MAX, jnp.float32),
         jnp.zeros(ox.shape, jnp.float32),
         jnp.zeros(ox.shape, jnp.float32),
         jnp.full(ox.shape, -1.0, jnp.float32),
+        jnp.full(ox.shape, -1.0, jnp.float32),
     )
-    t_best, u_best, v_best, p_best = jax.lax.fori_loop(0, n_tris, body, init)
+    t_best, u_best, v_best, p_best, i_best = jax.lax.fori_loop(
+        0, n_tris, body, init)
     t_out[:] = t_best
     u_out[:] = u_best
     v_out[:] = v_best
     prim_out[:] = p_best
+    inst_out[:] = i_best
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("interpret",))
 def pallas_brute_force_full(tris, attrs, ro, rd, max_t, exclude_instance,
-                            include_instance):
+                            include_instance, interpret: bool = False):
     """Fused intersect + hit-info. Returns the hit_info dict contract
     (position/normal/uv/instance/material) plus t/prim."""
     DISTANCE_MAX = 65535.0
@@ -189,23 +200,25 @@ def pallas_brute_force_full(tris, attrs, ro, rd, max_t, exclude_instance,
         prep(exclude_instance.astype(jnp.float32), -1.0),
         prep(include_instance.astype(jnp.float32), -1.0),
     ]
-    grid = rows // _SUBLANES
-    ray_spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+    grid = rows // _BLOCK_ROWS
+    ray_spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     p = tris.shape[0]
     outs = pl.pallas_call(
         _kernel_full,
+        interpret=interpret,
         grid=(grid,),
         in_specs=[pl.BlockSpec((p, 16), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((p, 24), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)] + [ray_spec] * 9,
-        out_specs=[ray_spec] * 8,
-        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 8,
+        out_specs=[ray_spec] * 9,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 9,
     )(jnp.pad(tris, ((0, 0), (0, 6))), jnp.pad(attrs, ((0, 0), (0, 7))),
       *args)
 
-    t, pbest, nx, ny, nz, uvx, uvy, mat = [o.reshape(-1)[:n] for o in outs]
+    t, pbest, nx, ny, nz, uvx, uvy, mat, inst_f = [
+        o.reshape(-1)[:n] for o in outs]
     prim = jnp.round(pbest).astype(jnp.int32)
     miss = prim < 0
     tt = jnp.where(miss, DISTANCE_MAX, t)
@@ -215,12 +228,7 @@ def pallas_brute_force_full(tris, attrs, ro, rd, max_t, exclude_instance,
 
     normal = normal * jax.lax.rsqrt(
         jnp.maximum(dot3(normal, normal), 1e-20))[:, None]
-    from hikari_tpu.utils.math import table_gather
-
-    inst = jnp.round(
-        table_gather(tris[:, 9:10], jnp.maximum(prim, 0))[:, 0]
-    ).astype(jnp.int32)
-    instance = jnp.where(miss, -1, inst)
+    instance = jnp.round(inst_f).astype(jnp.int32)
     return {
         "t": jnp.where(miss, F32_MAX, t),
         "prim": prim,
@@ -233,8 +241,112 @@ def pallas_brute_force_full(tris, attrs, ro, rd, max_t, exclude_instance,
     }
 
 
-@partial(jax.jit, static_argnames=())
-def pallas_brute_force(tris, ro, rd, max_t, exclude_instance, include_instance):
+def _kernel_shadow(tris_ref, rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl,
+                   t_out, inst_out):
+    """Occlusion (shadow-ray) intersector: division-free Möller-Trumbore.
+
+    Shadow consumers (occlude_hit_info, light.wgsl:526-533) need only
+    (hit t, hit instance) — no barycentrics, no attributes. All conditions
+    are tested in |det|-multiplied form and the closest-t comparison is done
+    by cross-multiplication, so the per-triangle loop has no divide and only
+    three carried values; the single divide happens once per ray at the end.
+    """
+    ox, oy, oz = rox[:], roy[:], roz[:]
+    dx, dy, dz = rdx[:], rdy[:], rdz[:]
+    mt = maxt[:]
+    ex = excl[:]
+    inc = incl[:]
+    n_tris = tris_ref.shape[0]
+
+    def body(j, carry):
+        td_best, ads_best, inst_best = carry
+        row = tris_ref[pl.ds(j, 1), :]
+        v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+        v1x, v1y, v1z = row[0, 3], row[0, 4], row[0, 5]
+        v2x, v2y, v2z = row[0, 6], row[0, 7], row[0, 8]
+        inst = row[0, 9]
+        abx, aby, abz = v1x - v0x, v1y - v0y, v1z - v0z
+        acx, acy, acz = v2x - v0x, v2y - v0y, v2z - v0z
+        ux = dy * acz - dz * acy
+        uy = dz * acx - dx * acz
+        uz = dx * acy - dy * acx
+        det = abx * ux + aby * uy + abz * uz
+        s = jnp.sign(det)
+        ads = det * s  # |det|
+        aox, aoy, aoz = ox - v0x, oy - v0y, oz - v0z
+        ud = (aox * ux + aoy * uy + aoz * uz) * s
+        vx = aoy * abz - aoz * aby
+        vy = aoz * abx - aox * abz
+        vz = aox * aby - aoy * abx
+        vd = (dx * vx + dy * vy + dz * vz) * s
+        td = (acx * vx + acy * vy + acz * vz) * s
+        ok = (
+            (ads >= F32_EPSILON)
+            & (ud >= 0.0) & (vd >= 0.0) & (ud + vd <= ads)
+            & (td > F32_EPSILON * ads)
+            & (td < mt * ads)
+            & (td * ads_best < td_best * ads)  # t < t_best, cross-multiplied
+            & (inst >= 0.0)
+            & (inst != ex)
+            & ((inc < 0.0) | (inst == inc))
+        )
+        return (jnp.where(ok, td, td_best), jnp.where(ok, ads, ads_best),
+                jnp.where(ok, inst, inst_best))
+
+    init = (jnp.full(ox.shape, F32_MAX, jnp.float32),
+            jnp.ones(ox.shape, jnp.float32),
+            jnp.full(ox.shape, -1.0, jnp.float32))
+    td, ads, inst = jax.lax.fori_loop(0, n_tris, body, init)
+    t_out[:] = jnp.where(inst >= 0.0, td / ads, F32_MAX)
+    inst_out[:] = inst
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_shadow(tris, ro, rd, max_t, exclude_instance, include_instance,
+                  interpret: bool = False):
+    """Shadow/occlusion trace: returns {t, instance, u, v, prim} with
+    u/v/prim zero/-1 placeholders (occlusion consumers never read them)."""
+    n = ro.shape[0]
+    n_pad = -(-n // _TILE) * _TILE
+    rows = n_pad // _LANES
+
+    def prep(x, fill=0.0):
+        x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return x.reshape(rows, _LANES)
+
+    args = [
+        prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1]), prep(rd[:, 2]),
+        prep(max_t, 0.0),
+        prep(exclude_instance.astype(jnp.float32), -1.0),
+        prep(include_instance.astype(jnp.float32), -1.0),
+    ]
+    ray_spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    t, inst = pl.pallas_call(
+        _kernel_shadow,
+        interpret=interpret,
+        grid=(rows // _BLOCK_ROWS,),
+        in_specs=[pl.BlockSpec((tris.shape[0], 16), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 2,
+    )(jnp.pad(tris, ((0, 0), (0, 6))), *args)
+    t = t.reshape(-1)[:n]
+    inst = jnp.round(inst.reshape(-1)[:n]).astype(jnp.int32)
+    miss = inst < 0
+    return {
+        "t": jnp.where(miss, F32_MAX, t),
+        "u": jnp.zeros((n,), jnp.float32),
+        "v": jnp.zeros((n,), jnp.float32),
+        "prim": jnp.full((n,), -1, jnp.int32),
+        "instance": inst,
+    }
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_brute_force(tris, ro, rd, max_t, exclude_instance,
+                       include_instance, interpret: bool = False):
     """tris: [P, 10] f32 (tri_pos_flat). ro/rd [N,3]. Returns hit dict."""
     n = ro.shape[0]
     n_pad = -(-n // _TILE) * _TILE
@@ -251,16 +363,17 @@ def pallas_brute_force(tris, ro, rd, max_t, exclude_instance, include_instance):
         prep(exclude_instance.astype(jnp.float32), -1.0),
         prep(include_instance.astype(jnp.float32), -1.0),
     ]
-    grid = rows // _SUBLANES
-    ray_spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+    grid = rows // _BLOCK_ROWS
+    ray_spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 4
-    t, u, v, p = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 5
+    t, u, v, p, inst = pl.pallas_call(
         _kernel,
+        interpret=interpret,
         grid=(grid,),
         in_specs=[pl.BlockSpec((tris.shape[0], 16), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)] + [ray_spec] * 9,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 5,
         out_shape=out_shape,
     )(jnp.pad(tris, ((0, 0), (0, 6))), *args)
 
@@ -268,16 +381,10 @@ def pallas_brute_force(tris, ro, rd, max_t, exclude_instance, include_instance):
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]
     prim = jnp.round(p.reshape(-1)[:n]).astype(jnp.int32)
-    miss = prim < 0
-    from hikari_tpu.utils.math import table_gather
-
-    inst = jnp.round(
-        table_gather(tris[:, 9:10], jnp.maximum(prim, 0))[:, 0]
-    ).astype(jnp.int32)
     return {
-        "t": jnp.where(miss, F32_MAX, t),
+        "t": jnp.where(prim < 0, F32_MAX, t),
         "u": u,
         "v": v,
         "prim": prim,
-        "instance": jnp.where(miss, -1, inst),
+        "instance": jnp.round(inst.reshape(-1)[:n]).astype(jnp.int32),
     }

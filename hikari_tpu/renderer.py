@@ -52,8 +52,10 @@ class Renderer:
         self._frame_fn = jax.jit(
             build_render_frame(self.settings, self.full_size, self.tracer,
                                self.no_texture,
-                               num_emissives=self.gpu_scene.num_emissives),
+                               num_emissives=self.gpu_scene.num_emissives,
+                               has_sun=self.gpu_scene.has_sun),
             donate_argnums=(4,))
+        self._post_fn = jax.jit(self._build_post_overlay())
         self.carry = self._fresh_carry()
         self._frame_index = 0
         self._prev_view_initialized = False
@@ -111,23 +113,34 @@ class Renderer:
         self._frame_index += 1
         return self._post_overlay(image, albedo)
 
+    def _build_post_overlay(self):
+        """Overlay + the Bevy core-node tail (bloom/tonemap/fxaa) as ONE
+        jitted program per (hdr, bloom, fxaa) configuration — no eager
+        per-frame ops outside the two cached XLA programs."""
+        hdr = self.camera.hdr
+        bloom_settings = self.bloom_settings
+        use_fxaa = self.fxaa
+
+        def post_overlay(image, albedo):
+            out = overlay_compose(image, albedo, hdr)
+            if hdr:
+                from hikari_tpu.ops.bloom import bloom
+                from hikari_tpu.utils.math import reinhard_luminance
+
+                if bloom_settings is not None:
+                    out = bloom(out, bloom_settings)
+                rgb = reinhard_luminance(out[..., :3])
+                out = jnp.concatenate([rgb, out[..., 3:4]], -1)
+            if use_fxaa:
+                from hikari_tpu.ops.fxaa import fxaa as fxaa_op
+
+                out = fxaa_op(out)
+            return out
+
+        return post_overlay
+
     def _post_overlay(self, image, albedo):
-        """Overlay + the Bevy core-node tail (bloom/tonemap/fxaa)."""
-        out = overlay_compose(image, albedo, self.camera.hdr)
-        if self.camera.hdr:
-            from hikari_tpu.ops.bloom import BloomSettings, bloom
-            from hikari_tpu.utils.math import reinhard_luminance
-            import jax.numpy as jnp
-
-            if self.bloom_settings is not None:
-                out = bloom(out, self.bloom_settings)
-            rgb = reinhard_luminance(out[..., :3])
-            out = jnp.concatenate([rgb, out[..., 3:4]], -1)
-        if self.fxaa:
-            from hikari_tpu.ops.fxaa import fxaa as fxaa_op
-
-            out = fxaa_op(out)
-        return out
+        return self._post_fn(image, albedo)
 
     # ------------------------------------------------------------------
     # checkpoint/resume of the persistent frame state (SURVEY.md §5: the
@@ -182,7 +195,8 @@ class Renderer:
             self._debug_fn = jax.jit(build_render_frame(
                 self.settings, self.full_size, self.tracer,
                 self.no_texture, debug=True,
-                num_emissives=self.gpu_scene.num_emissives))
+                num_emissives=self.gpu_scene.num_emissives,
+                has_sun=self.gpu_scene.has_sun))
         view = self._views()
         if not self._prev_view_initialized:
             self.carry["prev_view_proj"] = view["view_proj"] + 0.0
