@@ -275,6 +275,11 @@ class GpuScene:
                 a["em_surface_area"][:, None],
             ], axis=1).astype(np.float32)
         _add_emissive_tri_tables(arrays)
+        if "cl_tri_packed" in a:
+            from hikari_tpu.models.clusters import build_cluster_tables
+
+            arrays.update(build_cluster_tables(
+                bvh2, arrays["tri_pos_flat"], arrays["tri_attr"]))
         return dataclasses.replace(self, arrays=arrays, bvh=bvh2)
 
 
@@ -556,6 +561,11 @@ def compile_scene(scene: Scene, universal=None) -> GpuScene:
         arrays["em_bvh_exit"].astype(np.float32)[:, None],
     ], axis=1).astype(np.float32)
     _add_emissive_tri_tables(arrays)
+    if num_tris > 4096 and universal.build_mesh_acceleration_structure:
+        from hikari_tpu.models.clusters import build_cluster_tables
+
+        arrays.update(build_cluster_tables(
+            bvh, arrays["tri_pos_flat"], arrays["tri_attr"]))
 
     return GpuScene(
         arrays=arrays,

@@ -90,7 +90,8 @@ def prepass(scene, tracer, view, prev_view, frame_number, size,
     ro_f = ro.reshape(-1, 3)
     rd_f = rd.reshape(-1, 3)
     info = tracer.with_info(scene, ro_f, rd_f,
-                            jnp.full((h * w,), 3.4e38, jnp.float32))
+                            jnp.full((h * w,), 3.4e38, jnp.float32),
+                            shape2d=(h, w))
     mask = (info["instance"] >= 0).reshape(h, w)
     wpos = info["position"][..., :3].reshape(h, w, 3)
     normal = info["normal"].reshape(h, w, 3)

@@ -274,7 +274,7 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
         shadow_trace = getattr(tracer, "shadow", tracer)
         hit = shadow_trace(scene, ro, rd, cand["max_distance"],
                            cand["emissive_instance"], None,
-                           cand["min_distance"])
+                           cand["min_distance"], shape2d=render_size)
         info = occlude_hit_info(ro, rd, hit, info)
         rad = input_radiance(
             scene, rd, info["instance"], info["material"], info["uv"],
@@ -316,7 +316,7 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
         shadow_trace = getattr(tracer, "shadow", tracer)
         hit = shadow_trace(scene, ro, rd, cand["max_distance"],
                            cand["emissive_instance"], None,
-                           cand["min_distance"])
+                           cand["min_distance"], shape2d=render_size)
         info = occlude_hit_info(ro, rd, hit, info)
         vrad = input_radiance(
             scene, rd, info["instance"], info["material"], info["uv"],
@@ -450,7 +450,8 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
         local, bounce_pdf = sample_cosine_hemisphere(b_rand[:, :2])
         rd = apply_normal_basis(b_nrm, local)
         ro = b_pos + b_nrm * RAY_BIAS
-        info = tracer.with_info(scene, ro, rd, jnp.full((n_pix,), F32_MAX))
+        info = tracer.with_info(scene, ro, rd, jnp.full((n_pix,), F32_MAX),
+                                shape2d=render_size, incoherent=True)
         hit_ok = info["instance"] >= 0
 
         if n == 0:
@@ -473,7 +474,8 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
         shadow_trace = getattr(tracer, "shadow", tracer)
         hit2 = shadow_trace(scene, ro2, cand["direction"],
                             cand["max_distance"], cand["emissive_instance"],
-                            None, cand["min_distance"])
+                            None, cand["min_distance"], shape2d=render_size,
+                            incoherent=True)
         cinfo = occlude_hit_info(ro2, cand["direction"], hit2, cinfo)
         in_rad = input_radiance(
             scene, cand["direction"], cinfo["instance"], cinfo["material"],

@@ -97,7 +97,10 @@ def brute_force_intersect(scene, ro, rd, max_t,
 
     def body(carry, ti):
         t_best, u_best, v_best, prim_best = carry
-        start = ti * tile
+        # clamp the start explicitly: XLA clamps out-of-bounds dynamic
+        # slices silently, which would desynchronize `start + ti_best`
+        # prim labels from the actually-sliced rows on the last tile
+        start = jnp.minimum(ti * tile, p - tile)
         v = jax.lax.dynamic_slice_in_dim(tri_pos, start, tile, axis=0)  # [T,3,3]
         inst = jax.lax.dynamic_slice_in_dim(tri_inst, start, tile, axis=0)  # [T]
         t, u, vv = intersect_triangle(
@@ -284,7 +287,8 @@ def _attach_probe(trace, use_pallas: bool, brute_force_max: int):
     the whole scene."""
 
     def probe_info(scene, ro, rd, max_t, exclude_instance=None,
-                   include_instance=None):
+                   include_instance=None, shape2d=None, incoherent=False):
+        del shape2d, incoherent  # probe tables are tiny; no culling needed
         n = ro.shape[0]
         if exclude_instance is None:
             exclude_instance = jnp.full((n,), -1, jnp.int32)
@@ -313,7 +317,8 @@ def _default_with_info(trace_fn):
     """hit + hit_info composition for engines without a fused variant."""
 
     def with_info(scene, ro, rd, max_t, exclude_instance=None,
-                  include_instance=None):
+                  include_instance=None, shape2d=None, incoherent=False):
+        del shape2d, incoherent
         hit = trace_fn(scene, ro, rd, max_t, exclude_instance, include_instance)
         info = hit_info(scene, ro, rd, hit)
         info["t"] = hit["t"]
@@ -345,8 +350,8 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
         )
 
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
-                  early_distance=None):
-            del early_distance  # brute force always finds the nearest hit
+                  early_distance=None, shape2d=None, incoherent=False):
+            del early_distance, shape2d, incoherent  # order-independent
             n = ro.shape[0]
             if exclude_instance is None:
                 exclude_instance = jnp.full((n,), -1, jnp.int32)
@@ -356,7 +361,8 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
                                       exclude_instance, include_instance)
 
         def with_info(scene, ro, rd, max_t, exclude_instance=None,
-                      include_instance=None):
+                      include_instance=None, shape2d=None, incoherent=False):
+            del shape2d, incoherent
             n = ro.shape[0]
             if exclude_instance is None:
                 exclude_instance = jnp.full((n,), -1, jnp.int32)
@@ -378,8 +384,9 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
                 exclude_instance, include_instance)
 
         def shadow(scene, ro, rd, max_t, exclude_instance=None,
-                   include_instance=None, early_distance=None):
-            del early_distance
+                   include_instance=None, early_distance=None, shape2d=None,
+                   incoherent=False):
+            del early_distance, shape2d, incoherent
             n = ro.shape[0]
             if exclude_instance is None:
                 exclude_instance = jnp.full((n,), -1, jnp.int32)
@@ -393,8 +400,8 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
         trace.kind = "brute_force_pallas"
     elif num_triangles <= brute_force_max:
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
-                  early_distance=None):
-            del early_distance  # brute force always finds the nearest hit
+                  early_distance=None, shape2d=None, incoherent=False):
+            del early_distance, shape2d, incoherent
             # bound the [rays x tile] intermediate to ~2^25 elements so big
             # resolutions don't exhaust HBM with scan temporaries
             n = ro.shape[0]
@@ -407,9 +414,51 @@ def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512
             )
         trace.with_info = _default_with_info(trace)
         trace.kind = "brute_force"
+    elif on_tpu:
+        # large scenes on TPU: tile-cull engine (ops/trace_cull.py) — dense
+        # per-tile cluster culling + fixed-block Pallas intersection; no
+        # per-ray gathers (measured ~100x the lockstep-BVH throughput)
+        from hikari_tpu.ops.trace_cull import cull_trace
+
+        def trace(scene, ro, rd, max_t, exclude_instance=None,
+                  include_instance=None, early_distance=None, shape2d=None,
+                  incoherent=False):
+            del early_distance
+            if "cl_tri_packed" not in scene:
+                return traverse_bvh(scene, ro, rd, max_t, exclude_instance,
+                                    include_instance)
+            return cull_trace(scene, ro, rd, max_t, exclude_instance,
+                              include_instance, mode="hit", shape2d=shape2d,
+                              incoherent=incoherent)
+
+        def with_info(scene, ro, rd, max_t, exclude_instance=None,
+                      include_instance=None, shape2d=None, incoherent=False):
+            if "cl_tri_packed" not in scene:
+                f = _default_with_info(traverse_bvh)
+                return f(scene, ro, rd, max_t, exclude_instance,
+                         include_instance)
+            return cull_trace(scene, ro, rd, max_t, exclude_instance,
+                              include_instance, mode="full", shape2d=shape2d,
+                              incoherent=incoherent)
+
+        def shadow(scene, ro, rd, max_t, exclude_instance=None,
+                   include_instance=None, early_distance=None, shape2d=None,
+                   incoherent=False):
+            del early_distance
+            if "cl_tri_packed" not in scene:
+                return traverse_bvh(scene, ro, rd, max_t, exclude_instance,
+                                    include_instance)
+            return cull_trace(scene, ro, rd, max_t, exclude_instance,
+                              include_instance, mode="shadow",
+                              shape2d=shape2d, incoherent=incoherent)
+
+        trace.with_info = with_info
+        trace.shadow = shadow
+        trace.kind = "cull"
     else:
         def trace(scene, ro, rd, max_t, exclude_instance=None, include_instance=None,
-                  early_distance=None):
+                  early_distance=None, shape2d=None, incoherent=False):
+            del shape2d, incoherent
             return traverse_bvh(scene, ro, rd, max_t, exclude_instance,
                                 include_instance, early_distance)
         trace.with_info = _default_with_info(trace)
