@@ -131,12 +131,10 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             render res, filling inactive pixels depth/normal-aware."""
             if not ckb:
                 return render_c, var_c
-            rf = ckb_ops.reconstruct(ckb_ops.expand(render_c, par), amask,
+            both = jnp.concatenate([render_c, var_c[..., None]], -1)
+            bf = ckb_ops.reconstruct(ckb_ops.expand(both, par), amask,
                                      g["position"][..., 3], g["normal"])
-            vf = ckb_ops.reconstruct(ckb_ops.expand(var_c[..., None], par),
-                                     amask, g["position"][..., 3],
-                                     g["normal"])[..., 0]
-            return rf, vf
+            return bf[..., :4], bf[..., 4]
 
         def temporal_full_packed(r_l, carry_key):
             """This frame's temporal reservoirs as a full-res packed tensor
@@ -270,21 +268,34 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         # --- post process
         if settings.denoise:
-            from hikari_tpu.ops.denoise import denoise_channel
+            from hikari_tpu.ops.denoise import denoise_channels
 
             # firefly filtering: off for direct, on for emissive/indirect
             # (post_process.rs:773-784, 1192-1196). With no sun the direct
             # channel is a deterministic surface-emission term with zero
             # variance — denoising it is a no-op by construction, so skip.
+            # All active channels denoise in ONE fused pass (shared
+            # edge-stopping geometry weights — ops/denoise.py).
+            dn_in, dn_slots = [], []
             if has_sun:
-                d_render = denoise_channel(g, albedo, d_render, d_var, frame,
-                                           render_size, ratio, firefly=False)
+                dn_in.append((d_render, d_var, False))
+                dn_slots.append("d")
             if num_emissives > 0:
-                e_render = denoise_channel(g, albedo, e_render, e_var, frame,
-                                           render_size, ratio, firefly=True)
+                dn_in.append((e_render, e_var, True))
+                dn_slots.append("e")
             if settings.indirect_bounces > 0:
-                i_render = denoise_channel(g, albedo, i_render, i_var, frame,
-                                           render_size, ratio, firefly=True)
+                dn_in.append((i_render, i_var, True))
+                dn_slots.append("i")
+            if dn_in:
+                dn_out = denoise_channels(g, albedo, dn_in, frame,
+                                          render_size, ratio)
+                for slot, out in zip(dn_slots, dn_out):
+                    if slot == "d":
+                        d_render = out
+                    elif slot == "e":
+                        e_render = out
+                    else:
+                        i_render = out
 
         tone = tone_mapping(d_render, e_render, i_render, frame["clear_color"])
 

@@ -266,6 +266,9 @@ class GpuScene:
                 epay.astype(np.float32)[:, None],
                 em_bvh.exit.astype(np.float32)[:, None],
             ], axis=1).astype(np.float32)
+            # DFS leaf order (= array order of an entry/exit flattening):
+            # lets small-E scenes unroll the walk (ops/sampling.py)
+            arrays["em_leaf_order"] = epay[eleaf].astype(np.int32)
             arrays["em_packed"] = np.concatenate([
                 a["em_rgba"], arrays["em_position"],
                 arrays["em_radius"][:, None],
@@ -560,6 +563,10 @@ def compile_scene(scene: Scene, universal=None) -> GpuScene:
         em_payload.astype(np.float32)[:, None],
         arrays["em_bvh_exit"].astype(np.float32)[:, None],
     ], axis=1).astype(np.float32)
+    # DFS leaf order (= array order of an entry/exit flattening): lets
+    # small-E scenes unroll the walk (ops/sampling.py)
+    arrays["em_leaf_order"] = (em_payload[em_is_leaf].astype(np.int32)
+                               if num_emissives else np.zeros(1, np.int32))
     _add_emissive_tri_tables(arrays)
     if num_tris > 4096 and universal.build_mesh_acceleration_structure:
         from hikari_tpu.models.clusters import build_cluster_tables

@@ -69,11 +69,21 @@ def pixel_uv(render_size, par):
 
 
 def _shift(x, dy, dx):
-    """Static shift with edge clamp: out[p] = x[p + (dy, dx)]."""
-    h, w = x.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return x[ys][:, xs]
+    """Static shift with edge clamp: out[p] = x[p + (dy, dx)].
+
+    Slice+concat formulation — the index-array form lowered to gathers and
+    layout-changing copies on TPU (profiled ~0.2 ms each at 1080p)."""
+    if dy > 0:
+        x = jnp.concatenate([x[dy:], jnp.repeat(x[-1:], dy, axis=0)], axis=0)
+    elif dy < 0:
+        x = jnp.concatenate([jnp.repeat(x[:1], -dy, axis=0), x[:dy]], axis=0)
+    if dx > 0:
+        x = jnp.concatenate(
+            [x[:, dx:], jnp.repeat(x[:, -1:], dx, axis=1)], axis=1)
+    elif dx < 0:
+        x = jnp.concatenate(
+            [jnp.repeat(x[:, :1], -dx, axis=1), x[:, :dx]], axis=1)
+    return x
 
 
 def reconstruct(full, mask, depth, normal):

@@ -55,7 +55,9 @@ def depth_weight(d0, d1, gradient, offset):
 
 
 def luminance_weight(l0, l1, variance):
-    return jnp.exp(-jnp.abs(l0 - l1) / (4.0 * jnp.maximum(variance, 0.0) ** 0.25 + 1e-3))
+    # var^0.25 as two sqrts: a float pow lowers to exp(log) transcendentals
+    var4 = jnp.sqrt(jnp.sqrt(jnp.maximum(variance, 0.0)))
+    return jnp.exp(-jnp.abs(l0 - l1) / (4.0 * var4 + 1e-3))
 
 
 def instance_weight(i0, i1):
@@ -83,6 +85,20 @@ def denoise_channel(g, albedo, render, variance, frame, render_size,
 
     g: render-res resampled G-buffer; albedo: FULL-res albedo texture.
     """
+    return denoise_channels(g, albedo, [(render, variance, firefly)], frame,
+                            render_size, ratio)[0]
+
+
+def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
+    """Denoise several lighting channels in ONE fused pass.
+
+    chans: list of (render [h,w,4], variance [h,w], firefly bool). The
+    edge-stopping geometry weights (normal^16 / depth / instance,
+    denoise.wgsl:43-66) depend only on the G-buffer, so with C channels in
+    flight they are computed once per tap instead of C times, and every tap
+    shift covers all channels — ~40% fewer 1080p passes for the 3-channel
+    reference pipeline (the analog of denoise.wgsl's 3 sequential
+    dispatches, post_process.rs:1180-1240)."""
     albedo_r = resample_deferred(albedo, render_size, frame["number"], ratio)
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
@@ -90,19 +106,36 @@ def denoise_channel(g, albedo, render, variance, frame, render_size,
     gradient = g["depth_gradient"]
     instance = g["instance_material"][..., 0]
 
-    irr, var = demodulate(albedo_r, render, variance, render_size)
+    irrs, variances = [], []
+    for render, variance, _ in chans:
+        irr_c, var_c = demodulate(albedo_r, render, variance, render_size)
+        irrs.append(irr_c)
+        variances.append(var_c)
+    nch = len(chans)
+    # channel-stacked irradiance [h, w, 3C]: the tap shifts cover every
+    # channel in one pass; per-channel scalar planes stay [h, w] (slices
+    # along the outermost channel dim are layout-free bitcasts — avoid any
+    # [h, w, C, 3] broadcast materialization)
+    irr = jnp.concatenate(irrs, axis=-1)
+    ffs = [ff for _, _, ff in chans]
+
+    def chan3(x, c):
+        return x[..., 3 * c:3 * c + 3]
 
     center_k = float(ATROUS_KERNEL[1, 1])
     for step in _STEPS:
-        bad_center = ~jnp.all(jnp.isfinite(irr), -1) | jnp.any(irr > F32_MAX, -1)
-        c_irr = jnp.where(bad_center[..., None], 0.0, irr)
-        sum_irr = c_irr * center_k
-        sum_w = jnp.where(bad_center, 0.0, center_k)
-        lum0 = jnp.where(bad_center, 0.0, luminance(c_irr))
+        bad = [~jnp.all(jnp.isfinite(chan3(irr, c)), -1)
+               | jnp.any(chan3(irr, c) > F32_MAX, -1) for c in range(nch)]
+        c_irrs = [jnp.where(bad[c][..., None], 0.0, chan3(irr, c))
+                  for c in range(nch)]
+        sum_irr = [ci * center_k for ci in c_irrs]
+        sum_w = [jnp.where(bad[c], 0.0, center_k) for c in range(nch)]
+        lum0 = [jnp.where(bad[c], 0.0, luminance(c_irrs[c]))
+                for c in range(nch)]
 
-        ff_m1 = jnp.zeros(render_size)
-        ff_m2 = jnp.zeros(render_size)
-        ff_cnt = jnp.zeros(render_size)
+        ff_m1 = [jnp.zeros(render_size) for _ in range(nch)]
+        ff_m2 = [jnp.zeros(render_size) for _ in range(nch)]
+        ff_cnt = [jnp.zeros(render_size) for _ in range(nch)]
 
         for oy in (-1, 0, 1):
             for ox in (-1, 0, 1):
@@ -113,35 +146,51 @@ def denoise_channel(g, albedo, render, variance, frame, render_size,
                 s_nrm, _ = _shift2d(normal, dy, dx)
                 s_dep, _ = _shift2d(depth, dy, dx)
                 s_ins, _ = _shift2d(instance, dy, dx)
-                finite = jnp.all(jnp.isfinite(s_irr), -1) & ~jnp.any(
-                    s_irr > F32_MAX, -1)
-                ok = ok & finite
-                s_lum = luminance(s_irr)
-                w = (
+                geo_w = (
                     normal_weight(normal, normalize(s_nrm))
                     * depth_weight(depth, s_dep, gradient, (ox, oy))
                     * instance_weight(instance, s_ins)
-                    * luminance_weight(lum0, s_lum, var)
-                )
-                w = jnp.clip(w, 0.0, 1.0) * float(ATROUS_KERNEL[oy + 1, ox + 1])
-                w = jnp.where(ok, w, 0.0)
-                sum_irr = sum_irr + s_irr * w[..., None]
-                sum_w = sum_w + w
-                if firefly:
-                    ff_m1 = ff_m1 + jnp.where(ok, s_lum, 0.0)
-                    ff_m2 = ff_m2 + jnp.where(ok, s_lum * s_lum, 0.0)
-                    ff_cnt = ff_cnt + ok.astype(jnp.float32)
+                ) * float(ATROUS_KERNEL[oy + 1, ox + 1])
+                # ^ [h,w] — shared by all channels
+                for c in range(nch):
+                    sc = chan3(s_irr, c)
+                    finite = jnp.all(jnp.isfinite(sc), -1) & ~jnp.any(
+                        sc > F32_MAX, -1)
+                    okc = ok & finite
+                    s_lum = luminance(sc)
+                    w = geo_w * luminance_weight(lum0[c], s_lum, variances[c])
+                    w = jnp.where(
+                        okc,
+                        jnp.clip(w, 0.0,
+                                 float(ATROUS_KERNEL[oy + 1, ox + 1])), 0.0)
+                    sum_irr[c] = sum_irr[c] + sc * w[..., None]
+                    sum_w[c] = sum_w[c] + w
+                    if ffs[c]:
+                        ff_m1[c] = ff_m1[c] + jnp.where(okc, s_lum, 0.0)
+                        ff_m2[c] = ff_m2[c] + jnp.where(okc, s_lum * s_lum,
+                                                        0.0)
+                        ff_cnt[c] = ff_cnt[c] + okc.astype(jnp.float32)
 
-        new_irr = jnp.where((sum_w < 1e-4)[..., None], 0.0,
-                            sum_irr / jnp.maximum(sum_w, 1e-4)[..., None])
-        if firefly:
-            ff_mean = ff_m1 / jnp.maximum(ff_cnt, 1.0)
-            ff_var = ff_m2 / jnp.maximum(ff_cnt, 1.0) - ff_mean * ff_mean
-            is_firefly = lum0 > ff_mean + 3.0 * jnp.sqrt(jnp.maximum(ff_var, 0.0))
-            new_irr = jnp.where(is_firefly[..., None],
-                                (ff_mean / jnp.maximum(lum0, 1e-30))[..., None]
-                                * new_irr, new_irr)
-        irr = new_irr
+        new_irrs = []
+        for c in range(nch):
+            ni = jnp.where((sum_w[c] < 1e-4)[..., None], 0.0,
+                           sum_irr[c]
+                           / jnp.maximum(sum_w[c], 1e-4)[..., None])
+            if ffs[c]:
+                ff_mean = ff_m1[c] / jnp.maximum(ff_cnt[c], 1.0)
+                ff_var = (ff_m2[c] / jnp.maximum(ff_cnt[c], 1.0)
+                          - ff_mean * ff_mean)
+                is_firefly = lum0[c] > ff_mean + 3.0 * jnp.sqrt(
+                    jnp.maximum(ff_var, 0.0))
+                ni = jnp.where(is_firefly[..., None],
+                               (ff_mean / jnp.maximum(lum0[c], 1e-30))[..., None]
+                               * ni, ni)
+            new_irrs.append(ni)
+        irr = jnp.concatenate(new_irrs, axis=-1)
 
-    out = jnp.concatenate([irr, jnp.ones(render_size + (1,))], -1) * albedo_r
-    return jnp.where(valid[..., None], out, 0.0)
+    outs = []
+    for c in range(nch):
+        out = jnp.concatenate(
+            [chan3(irr, c), jnp.ones(render_size + (1,))], -1) * albedo_r
+        outs.append(jnp.where(valid[..., None], out, 0.0))
+    return outs

@@ -6,6 +6,7 @@ golden-ratio scrambled by frame number so sequences decorrelate over time.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hikari_tpu.utils.bluenoise import load_blue_noise
@@ -21,11 +22,22 @@ def noise_constant():
 
 
 def sample_blue_noise(noise, frame_number, size):
-    """[H, W, 4] randoms for this frame. `noise` = noise_constant()."""
+    """[H, W, 4] randoms for this frame. `noise` = noise_constant().
+
+    The texture wrap `tex[(pixel + frame) % 64]` is a TILED pattern: roll
+    the 64x64 tile by the frame shift, then broadcast-tile it over the
+    screen. The naive advanced-index formulation lowered to a 2M-row XLA
+    gather costing ~11.9 ms/frame at 1080p (profiled); this is ~0.1 ms.
+    """
     h, w = size
-    tex = noise[frame_number % NOISE_TEXTURE_COUNT]
-    fy = (jnp.arange(h, dtype=jnp.uint32) + frame_number) % NOISE_SIZE
-    fx = (jnp.arange(w, dtype=jnp.uint32) + frame_number) % NOISE_SIZE
-    r = tex[fy[:, None], fx[None, :]]
+    tex = jax.lax.dynamic_index_in_dim(
+        noise, (frame_number % NOISE_TEXTURE_COUNT).astype(jnp.int32),
+        keepdims=False)
+    shift = (frame_number % NOISE_SIZE).astype(jnp.int32)
+    # rolled[y, x] = tex[(y + shift) % 64, (x + shift) % 64]
+    rolled = jnp.roll(tex, shift=(-shift, -shift), axis=(0, 1))
+    reps_y = -(-h // NOISE_SIZE)
+    reps_x = -(-w // NOISE_SIZE)
+    r = jnp.tile(rolled, (reps_y, reps_x, 1))[:h, :w]
     scramble = frame_number.astype(jnp.float32) * GOLDEN_RATIO
     return jnp.mod(r + scramble, 1.0)

@@ -351,7 +351,14 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
         r2 = rsv.where_reservoir(lum_miss, rsv.set_reservoir(s2, w_new), r)
         return r2, s2, prev_spatial_packed
 
-    if prev_spatial_packed is None:
+    # With temporal reuse off the reservoir only ever holds THIS frame's
+    # fresh sample, so the validation re-trace (light.wgsl:1156-1213, which
+    # guards stale *carried* reservoirs) would re-trace the identical sample
+    # and change nothing — skip it statically (pipeline-key specialization,
+    # like the reference's shader-def variants).
+    if not temporal_reuse:
+        pass
+    elif prev_spatial_packed is None:
         dummy = jnp.zeros((1, 1, rsv.PACKED_WIDTH))
         r, s, _ = jax.lax.cond(
             is_validation,

@@ -44,10 +44,47 @@ def empty_hit_info(position, direction):
     }
 
 
+SMALL_EMISSIVE_MAX = 8
+
+
+def _walk_emissive_unrolled(scene, position, rand_x, exclude_instance):
+    """Small-E specialization of the emissive-BVH walk: visit every leaf in
+    DFS order (em_leaf_order). Identical result to the walk — interior-node
+    culling only skips leaves whose sphere-AABB test would fail anyway (leaf
+    AABBs nest inside interior AABBs) — but with zero per-lane gathers and
+    no while_loop."""
+    em_packed = scene["em_packed"]
+    order = scene["em_leaf_order"]
+    n = position.shape[0]
+    picked = jnp.full((n,), -1, jnp.int32)
+    count = jnp.zeros((n,), jnp.float32)
+    rand_1d = rand_x
+    for k in range(em_packed.shape[0]):
+        em_idx = order[k]  # scalar (traced), not per-lane
+        em_row = jax.lax.dynamic_index_in_dim(em_packed, em_idx,
+                                              keepdims=False)
+        c = em_row[4:7]
+        r = em_row[7]
+        inside = jnp.all((position > c - r) & (position < c + r), axis=-1)
+        inst = jnp.round(em_row[8]).astype(jnp.int32)
+        take_leaf = inside & (inst != exclude_instance)
+        new_rand = jnp.mod(rand_1d + GOLDEN_RATIO, 1.0)
+        rand_1d = jnp.where(take_leaf, new_rand, rand_1d)
+        count = jnp.where(take_leaf, count + 1.0, count)
+        take = take_leaf & (rand_1d < 1.0 / jnp.maximum(count, 1.0))
+        picked = jnp.where(take, em_idx, picked)
+    return picked, count
+
+
 def walk_emissive_bvh(scene, position, rand_x, exclude_instance):
     """Streaming uniform pick among emissives containing `position`
     (light.wgsl:624-657). Returns (picked emissive idx [-1 none], count)."""
     from hikari_tpu.utils.math import table_gather
+
+    if (scene["em_packed"].shape[0] <= SMALL_EMISSIVE_MAX
+            and "em_leaf_order" in scene):
+        return _walk_emissive_unrolled(scene, position, rand_x,
+                                       exclude_instance)
 
     n = position.shape[0]
     node_count = scene["em_bvh_packed"].shape[0]

@@ -135,12 +135,13 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     # footprint MAX of previous depth replaces the 5-bias x 4-corner probes
     # (smaa.wgsl:147-155 — ANY-over-footprint; see taa.py for the identity)
     pdepth_full = prev_gbuf["position"][..., 3]
-    pooled = pdepth_full
-    for dy in (-3, -2, -1, 0, 1, 2, 3):
-        for dx in (-3, -2, -1, 0, 1, 2, 3):
-            if dy == 0 and dx == 0:
-                continue
-            pooled = jnp.maximum(pooled, _shift(pdepth_full, dy, dx))
+    # separable max-pool (square footprint): 2r passes instead of (2r+1)^2-1
+    pooled_y = pdepth_full
+    for dy in (-3, -2, -1, 1, 2, 3):
+        pooled_y = jnp.maximum(pooled_y, _shift(pdepth_full, dy, 0))
+    pooled = pooled_y
+    for dx in (-3, -2, -1, 1, 2, 3):
+        pooled = jnp.maximum(pooled, _shift(pooled_y, 0, dx))
 
     pg = jnp.concatenate([pooled[..., None],
                           prev_gbuf["instance_material"][..., 0:1],

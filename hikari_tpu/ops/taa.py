@@ -110,12 +110,13 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
     # with static shifts BEFORE warping, then take ONE warped sample
     # (collapses ~26 warp reductions to 2).
     pdepth = prev_pos[..., 3]
-    pooled = pdepth
-    for dy in (-2, -1, 0, 1, 2):
-        for dx in (-2, -1, 0, 1, 2):
-            if dy == 0 and dx == 0:
-                continue
-            pooled = jnp.maximum(pooled, _shift(pdepth, dy, dx))
+    # separable max-pool (square footprint): 2r passes instead of (2r+1)^2-1
+    pooled_y = pdepth
+    for dy in (-2, -1, 1, 2):
+        pooled_y = jnp.maximum(pooled_y, _shift(pdepth, dy, 0))
+    pooled = pooled_y
+    for dx in (-2, -1, 1, 2):
+        pooled = jnp.maximum(pooled, _shift(pooled_y, 0, dx))
 
     # ONE warp window over all history buffers: prev_taa rgb (0:3),
     # prev pos xyz+depth (3:7), pooled max depth (7), prev velocity (8:10)

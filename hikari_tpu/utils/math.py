@@ -174,12 +174,20 @@ def perceptual_roughness_to_roughness(perceptual: jnp.ndarray) -> jnp.ndarray:
     return clamped * clamped
 
 
+def _pow5(x):
+    # explicit multiply chain: jnp.power(x, 5.0) lowers to exp(5*log(x)) —
+    # two transcendentals per lane, ~40x the cost of three multiplies on the
+    # VPU (measured: the Schlick pows dominated the whole shading stage)
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def f_schlick_scalar(f0, f90, voh):
-    return f0 + (f90 - f0) * jnp.power(1.0 - voh, 5.0)
+    return f0 + (f90 - f0) * _pow5(1.0 - voh)
 
 
 def f_schlick_vec(f0, f90, voh):
-    return f0 + (f90[..., None] - f0) * jnp.power(1.0 - voh, 5.0)[..., None]
+    return f0 + (f90[..., None] - f0) * _pow5(1.0 - voh)[..., None]
 
 
 def fd_burley(roughness, nov, nol, loh):
