@@ -16,6 +16,7 @@ gathers (see PERF.md: arbitrary row gathers cost ~24-40 ns/row on this TPU).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,6 +44,10 @@ def compress(x, par):
     (out[y, i] = x[y, 2i + (y+par)%2]). Requires even w."""
     h, w = x.shape[:2]
     assert w % 2 == 0, "checkerboard needs an even render width"
+    # NOTE: `x[:, 0::2]` lowers to a gather on this jax, but in-context it
+    # FUSES with its producers; the "faster" isolated variants (reshape-pair
+    # 3.6 ms vs gather 5.9 ms, tools/probe_compress.py) regressed the full
+    # frame 44.2 -> ~53 ms by breaking that fusion. Measured, not guessed.
     even = x[:, 0::2]
     odd = x[:, 1::2]
     return jnp.where(_row_even(par, h, x.ndim - 2), even, odd)

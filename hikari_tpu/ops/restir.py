@@ -103,8 +103,14 @@ def resample_deferred(img, render_size, frame_number, ratio: float):
     if ratio == 1.0 and (H, W) == (h, w):
         return img
     if ratio == 2.0 and H >= 2 * h and W >= 2 * w:
-        even = img[0::2, 0::2][:h, :w]   # frame even: coords 2x
-        odd = img[1::2, 1::2][:h, :w]    # frame odd: coords 2x+1
+        # reshape-pair decimation: jnp's `img[0::2, 0::2]` lowers to a full
+        # 2-D GATHER in this jax (~4 ms per plane at 1080p), and a
+        # lane-strided lax.slice costs 3-5x a reshape + static slice
+        # (tools/probe_compress.py)
+        tail = img.shape[2:]
+        quads = img[:2 * h, :2 * w].reshape((h, 2, w, 2) + tail)
+        even = quads[:, 0, :, 0]
+        odd = quads[:, 1, :, 1]
         sel = (frame_number & 1) == 0
         return jnp.where(sel, even, odd)
     # generic separable fallback
