@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hikari_tpu.ops.warp import build_warp, warp_reduce
+from hikari_tpu.ops.warp2 import warp_multi
 from hikari_tpu.utils.math import (
     TAU,
     clip_towards_aabb_center,
@@ -47,6 +47,33 @@ def _shift(img, dy, dx):
     return jax.lax.slice_in_dim(
         jax.lax.slice_in_dim(p, abs(dy) + dy, abs(dy) + dy + h, axis=0),
         abs(dx) + dx, abs(dx) + dx + w, axis=1)
+
+
+def _parity_ctx(full, render_size):
+    """Shared decimation context: out = full[2c + parity + k] for ANY
+    integer bias k becomes a cheap static shift of one of FOUR stride-2
+    decimations (built from ONE reshape — stride-2 reads cost ~20x a
+    static slice on this TPU; ~29 per-offset strided samples collapsed to
+    12 plane passes)."""
+    h, w = render_size
+    H, W = full.shape[:2]
+    if H < 2 * h or W < 2 * w:
+        return ("direct", full)
+    q = full[:2 * h, :2 * w].reshape(h, 2, w, 2, full.shape[-1])
+    return ("quad", {(a, b): q[:, a, :, b] for a in (0, 1) for b in (0, 1)})
+
+
+def _parity_sample_ctx(ctx, parity, render_size, ky: int = 0, kx: int = 0):
+    kind, data = ctx
+    if kind == "direct":
+        return _parity_sample(data, parity, render_size, ky, kx)
+
+    def pick(jy, jx):
+        a, sy = jy % 2, jy // 2
+        b, sx = jx % 2, jx // 2
+        return _shift(data[(a, b)], sy, sx)
+
+    return jnp.where(parity == 0, pick(ky, kx), pick(ky + 1, kx + 1))
 
 
 def _parity_sample(full, parity, render_size, ky: int = 0, kx: int = 0):
@@ -93,25 +120,30 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     current_color = tone[..., :3]
 
     # ---- velocity at previous_output_uv with 4-diagonal max-depth dilation
-    # (all affine: parity slices + static shifts of the full-res G-buffer)
+    # (all affine: shared parity-decimation ctx + static shifts)
+    pos_ctx = _parity_ctx(gbuf["position"], render_size)
+    vel_ctx = _parity_ctx(gbuf["velocity_uv"], render_size)
+    inst_ctx = _parity_ctx(gbuf["instance_material"], render_size)
+
     def pos_at(ky, kx):
-        return _parity_sample(gbuf["position"], prev_j, render_size, ky, kx)
+        return _parity_sample_ctx(pos_ctx, prev_j, render_size, ky, kx)
 
     depth0 = pos_at(0, 0)[..., 3]
-    d_pp = _parity_sample(gbuf["position"], prev_j, render_size, 1, 1)[..., 3]
-    d_np = _parity_sample(gbuf["position"], prev_j, render_size, 1, -1)[..., 3]
-    d_pn = _parity_sample(gbuf["position"], prev_j, render_size, -1, 1)[..., 3]
-    d_nn = _parity_sample(gbuf["position"], prev_j, render_size, -1, -1)[..., 3]
+    d_pp = pos_at(1, 1)[..., 3]
+    d_np = pos_at(1, -1)[..., 3]
+    d_pn = pos_at(-1, 1)[..., 3]
+    d_nn = pos_at(-1, -1)[..., 3]
     depths = jnp.stack([d_pp, d_np, d_pn, d_nn], -1)
     max_depth = jnp.max(depths, -1)
     is_max = depths == max_depth[..., None]
     ox = jnp.sum(is_max * jnp.array([1.0, -1.0, 1.0, -1.0]), -1).astype(jnp.int32)
     oy = jnp.sum(is_max * jnp.array([1.0, 1.0, -1.0, -1.0]), -1).astype(jnp.int32)
     dilate = depth0 < max_depth
-    vel = _parity_sample(gbuf["velocity_uv"], prev_j, render_size)[..., :2]
+    vel = _parity_sample_ctx(vel_ctx, prev_j, render_size)[..., :2]
     for sy_ in (-1, 1):
         for sx_ in (-1, 1):
-            cand = _parity_sample(gbuf["velocity_uv"], prev_j, render_size, sy_, sx_)[..., :2]
+            cand = _parity_sample_ctx(vel_ctx, prev_j, render_size,
+                                      sy_, sx_)[..., :2]
             take = dilate & (oy == sy_) & (ox == sx_)
             vel = jnp.where(take[..., None], cand, vel)
     velocity = vel
@@ -129,8 +161,9 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     # warp windows: previous tone (render res) and previous G-buffer (full)
     tone_sy = reproj_uy * rh - 0.5
     tone_sx = reproj_ux * rw - 0.5
-    ctx_tone = build_warp(prev_tone[..., :3], tone_sy, tone_sx)
-    prev_color = warp_reduce(ctx_tone, "nearest")
+    prev_color, = warp_multi(prev_tone[..., :3], tone_sy, tone_sx,
+                             [("nearest", (0.0, 0.0), (0, 3))],
+                             dtype=jnp.bfloat16)
 
     # footprint MAX of previous depth replaces the 5-bias x 4-corner probes
     # (smaa.wgsl:147-155 — ANY-over-footprint; see taa.py for the identity)
@@ -146,12 +179,12 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     pg = jnp.concatenate([pooled[..., None],
                           prev_gbuf["instance_material"][..., 0:1],
                           prev_gbuf["velocity_uv"][..., :2]], -1)
-    ctx_pg = build_warp(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5)
 
-    cur_instance = _parity_sample(gbuf["instance_material"], prev_j, render_size)[..., 0]
+    cur_instance = _parity_sample_ctx(inst_ctx, prev_j, render_size)[..., 0]
     cur_depth = depth0
 
-    aux = warp_reduce(ctx_pg, "nearest", channels=(0, 4))
+    aux, = warp_multi(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5,
+                      [("nearest", (0.0, 0.0), (0, 4))])
     pmax = aux[..., 0]
     pinst = aux[..., 1]
     pvel = aux[..., 2:4]
@@ -175,7 +208,7 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
                 # gather4 corners of position.w at output coords 2c+prev_j+bias
                 iy = np_floor(by - 0.5) + ky
                 ix = np_floor(bx - 0.5) + kx
-                d = _parity_sample(gbuf["position"], prev_j, render_size, iy, ix)[..., 3]
+                d = pos_at(iy, ix)[..., 3]
                 dds = dds + (cur_depth - d) ** 2
         dds = jnp.sqrt(dds)
         take = dds < min_ds

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hikari_tpu.ops.warp import build_warp, warp_reduce
+from hikari_tpu.ops.warp2 import warp_multi
 from hikari_tpu.utils.math import (
     clip_towards_aabb_center,
     rgb_to_ycocg,
@@ -119,12 +119,14 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
         pooled = jnp.maximum(pooled, _shift(pooled_y, 0, dx))
 
     # ONE warp window over all history buffers: prev_taa rgb (0:3),
-    # prev pos xyz+depth (3:7), pooled max depth (7), prev velocity (8:10)
+    # prev pos xyz+depth (3:7), pooled max depth (7), prev velocity (8:10).
+    # Both reduces share a single per-group window DMA (ops/warp2.py).
     packed = jnp.concatenate([prev_taa[..., :3], prev_pos,
                               pooled[..., None], prev_vel[..., :2]], -1)
-    ctx = build_warp(packed, sy, sx)
-
-    aux = warp_reduce(ctx, "nearest", channels=(3, 10))
+    aux, prev_color = warp_multi(packed, sy, sx, [
+        ("nearest", (0.0, 0.0), (3, 10)),
+        ("catmull", (0.0, 0.0), (0, 3)),
+    ], dtype=jnp.bfloat16)  # colors/positions/velocities only — no ids
     ppos = aux[..., 0:3]
     pmax = aux[..., 4]
     pvel = aux[..., 5:7]
@@ -139,7 +141,6 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
     vdist = jnp.sqrt(jnp.sum((velocity - pvel) ** 2, -1))
     velocity_miss = vdist > 0.00005
 
-    prev_color = warp_reduce(ctx, "catmull", channels=(0, 3))
     prev_color = jnp.clip(prev_color, 0.0, 1.0)
 
     need_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)

@@ -1,0 +1,221 @@
+"""Warp engine v2: per-group window fetch via in-kernel DMA (Pallas).
+
+Replaces ops/warp.py's XLA window materialization for the hot TAA/SMAA
+history fetches. The XLA formulation builds a 9x-overlapping window tensor
+plus a row-gather plus layout copies (~45 ms at 1080p F=10, profiled); this
+kernel instead DMAs ONE [wb, wrows, 128] window per 16x16-pixel group
+directly from a compact block tensor and applies the separable filter
+weights in VMEM (measured 8 ms at 1080p F=16 on v5e, tools/probe_warp_proto).
+
+Key layout facts (measured/verified on this toolchain):
+- dynamic LANE offsets in DMA slices are rejected by Mosaic ("tile index in
+  dimension 2 is divisible by the tiling"), so the window's x-offset rides a
+  NON-tiled outer dim: V[hb, wbt, wrows, 128] with V[by, bx] = source rows
+  8*by .. 8*by+wrows of the 8-pixel block bx (16 channels/pixel = 128 lanes).
+- scalar-prefetch operands are row-padded in SMEM: pack (by, bx) into ONE
+  i32 per group or a [G, 2] table blows the 1 MB SMEM budget.
+- all reduces for one source share the single window DMA (reduces arg).
+
+Semantics match ops/warp.py: group-mean-centered window, edge clamping of
+local coords (pixels whose source strays past the window clamp to its edge
+— exactly the silhouette pixels every caller rejects via disocclusion),
+'nearest'/'bilinear'/'catmull' kernels, per-reduce (dy, dx) offsets and
+channel slices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 16
+FP = 16          # channels per pixel (padded); 8 px * FP = 128 lanes
+BLK = 128
+WB = GROUP // 8 + 2   # window blocks across = 4
+WROWS = 8 * WB        # window rows = 32
+B = 8                 # groups per grid step
+
+
+def _margin(kernel: str) -> float:
+    return 2.0 if kernel == "catmull" else 1.0
+
+
+def _weights(dist, kernel: str):
+    """dist: local minus tap position; returns the filter weight."""
+    if kernel == "nearest":
+        return ((jnp.abs(dist) <= 0.5) & (dist > -0.5)).astype(jnp.float32)
+    if kernel == "bilinear":
+        return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
+    if kernel == "catmull":
+        a = jnp.abs(dist)
+        return jnp.where(
+            a < 1.0, 1.5 * a**3 - 2.5 * a**2 + 1.0,
+            jnp.where(a < 2.0, -0.5 * a**3 + 2.5 * a**2 - 4.0 * a + 2.0,
+                      0.0))
+    raise ValueError(kernel)
+
+
+def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float]], ...],
+                 dtype):
+    def kernel(byx_ref, v_any, ly, lx, *rest):
+        nred = len(reduces)
+        outs = rest[:nred]
+        scr, sem = rest[nred], rest[nred + 1]
+        b = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def dma(slot, bi, k):
+            g = bi * B + k
+            packed = byx_ref[g]
+            by = jax.lax.div(packed, 4096)
+            bx = jax.lax.rem(packed, 4096)
+            return pltpu.make_async_copy(
+                v_any.at[by, pl.ds(bx, WB)], scr.at[slot, k],
+                sem.at[slot, k])
+
+        @pl.when(b == 0)
+        def _():
+            for k in range(B):
+                dma(0, 0, k).start()
+
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < n)
+        def _():
+            for k in range(B):
+                dma(jax.lax.rem(b + 1, 2), b + 1, k).start()
+
+        npix = GROUP * GROUP
+        yy = jax.lax.broadcasted_iota(jnp.int32, (npix, WROWS), 1).astype(
+            jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (npix, BLK), 1).astype(
+            jnp.float32)
+        xsub = jnp.floor(lane / FP)
+        for k in range(B):
+            dma(slot, b, k).wait()
+            wins = [scr[slot, k, i].astype(jnp.float32) for i in range(WB)]
+            for r, (kname, (offy, offx)) in enumerate(reduces):
+                m = _margin(kname)
+                lyv = jnp.clip(ly[k, :] + offy, m - 1.0, WROWS - m)
+                lxv = jnp.clip(lx[k, :] + offx, m - 1.0, WROWS - m)
+                wy = _weights(lyv[:, None] - yy, kname)
+                s128 = jnp.zeros((npix, BLK), jnp.float32)
+                for i in range(WB):
+                    t = jnp.dot(wy, wins[i],
+                                preferred_element_type=jnp.float32)
+                    wx = _weights(lxv[:, None] - (xsub + 8.0 * i), kname)
+                    s128 = s128 + t * wx
+                acc = jnp.zeros((npix, FP), jnp.float32)
+                for j in range(8):
+                    acc = acc + s128[:, j * FP:(j + 1) * FP]
+                outs[r][k, :, :] = acc
+
+    return kernel
+
+
+def warp_multi(src, sy, sx,
+               reduces: Sequence[Tuple[str, Tuple[float, float],
+                                       Tuple[int, int]]],
+               dtype=jnp.float32) -> List:
+    """Sample `src` [H, W, F<=16] at per-pixel source coords (sy, sx) [h, w]
+    with one or more filters sharing one window fetch.
+
+    reduces: list of (kernel, (dy, dx) offset, (ch_lo, ch_hi)).
+    dtype: window storage dtype. bf16 halves the pack/V/DMA bytes — use it
+    for color/position/velocity packs; keep f32 when the pack carries
+    instance IDS (bf16 is exact only to 256) or other exact integers.
+    Returns a list of [h, w, ch_hi-ch_lo] f32 arrays.
+    """
+    H, W, F = src.shape
+    assert F <= FP, "pack at most 16 channels per warp source"
+    h, w = sy.shape
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+
+    # ---- group geometry
+    hh = -(-h // GROUP) * GROUP
+    ww = -(-w // GROUP) * GROUP
+    if (hh, ww) != (h, w):
+        sy = jnp.pad(sy, ((0, hh - h), (0, ww - w)), mode="edge")
+        sx = jnp.pad(sx, ((0, hh - h), (0, ww - w)), mode="edge")
+    sy = jnp.clip(sy, 0.0, H - 1.0)
+    sx = jnp.clip(sx, 0.0, W - 1.0)
+    gy, gx = hh // GROUP, ww // GROUP
+    G0 = gy * gx
+    G = -(-G0 // B) * B
+
+    # ---- block tensor V [hb, wbt, WROWS, 128] (edge-padded panels)
+    hb = -(-H // 8)
+    wbt = -(-W // 8)
+    pad_h = hb * 8 - H
+    pad_w = wbt * 8 - W
+    srcp = src.astype(dtype)
+    if FP > F:  # channel pad: zeros (edge-mode lowered to pad+max fusions)
+        srcp = jnp.concatenate(
+            [srcp, jnp.zeros((H, W, FP - F), dtype)], axis=-1)
+    if pad_h or pad_w:
+        srcp = jnp.pad(srcp, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    # panels [hb, wbt, 8, 128]
+    p = srcp.reshape(hb, 8, wbt, 8 * FP).transpose(0, 2, 1, 3)
+    # vertical window stack: V[by, bx] rows 8*by .. +WROWS (edge-clamped)
+    p_ext = jnp.concatenate([p] + [p[-1:]] * (WB - 1), axis=0)
+    v = jnp.concatenate([p_ext[i:i + hb] for i in range(WB)], axis=2)
+    # horizontal margin: windows start at bx and span WB blocks
+    v = jnp.concatenate([v] + [v[:, -1:]] * (WB - 1), axis=1)
+
+    # ---- per-group base blocks + local coords
+    sy_g = sy.reshape(gy, GROUP, gx, GROUP).transpose(0, 2, 1, 3)
+    sx_g = sx.reshape(gy, GROUP, gx, GROUP).transpose(0, 2, 1, 3)
+    y_mean = sy_g.mean(axis=(2, 3))
+    x_mean = sx_g.mean(axis=(2, 3))
+    by = jnp.clip(jnp.round((y_mean - WROWS / 2) / 8).astype(jnp.int32),
+                  0, hb - 1)
+    bx = jnp.clip(jnp.round((x_mean - WROWS / 2) / 8).astype(jnp.int32),
+                  0, wbt - 1)
+    npix = GROUP * GROUP
+    ly = (sy_g - (by * 8)[:, :, None, None]).reshape(G0, npix)
+    lx = (sx_g - (bx * 8)[:, :, None, None]).reshape(G0, npix)
+    byx = (by * 4096 + bx).reshape(G0)
+    if G != G0:
+        pad = G - G0
+        ly = jnp.concatenate([ly, jnp.zeros((pad, npix))], axis=0)
+        lx = jnp.concatenate([lx, jnp.zeros((pad, npix))], axis=0)
+        byx = jnp.concatenate([byx, jnp.zeros((pad,), jnp.int32)], axis=0)
+
+    red_key = tuple((k, (float(oy), float(ox))) for k, (oy, ox), _ in reduces)
+    kernel = _make_kernel(red_key, dtype)
+    nred = len(reduces)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G // B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec((B, npix), lambda g, byx: (g, 0)),
+            pl.BlockSpec((B, npix), lambda g, byx: (g, 0)),
+        ],
+        out_specs=[pl.BlockSpec((B, npix, FP), lambda g, byx: (g, 0, 0))
+                   for _ in range(nred)],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, WB, WROWS, BLK), dtype),
+            pltpu.SemaphoreType.DMA((2, B)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G, npix, FP), jnp.float32)
+                   for _ in range(nred)],
+        interpret=not on_tpu,
+    )
+    outs = fn(byx, v, ly, lx)
+    results = []
+    for (kname, off, (lo, hi)), o in zip(reduces, outs):
+        full = (o[:G0].reshape(gy, gx, GROUP, GROUP, FP)
+                .transpose(0, 2, 1, 3, 4).reshape(hh, ww, FP))
+        results.append(full[:h, :w, lo:hi])
+    return results

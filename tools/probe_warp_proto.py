@@ -1,12 +1,16 @@
 """Prototype: per-group window fetch via in-kernel DMA (warp engine v2).
 
-Question: can a Pallas kernel fetch G ~32k per-group [24, 384] bf16 windows
-(one DMA each, double-buffered) from a precomputed vertical-triple tensor
-fast enough to beat the ~45 ms XLA window materialization in ops/warp.py?
+Measures a Pallas kernel that fetches one [WB, WROWS, 128] bf16 window per
+GROUPxGROUP-pixel group (computed dynamic block coords, double-buffered
+DMA) and applies separable filter weights in-kernel — the replacement for
+ops/warp.py's ~45 ms XLA window materialization at 1080p.
 
-Measures the DMA + weight-contraction loop at 1080p scale (G = 135*240).
+Layout: V [hb, wb, WROWS, 128] bf16 — V[by, bx] holds source rows
+8*by..8*by+WROWS of the 8-pixel block bx (FP=16 channels -> 128 lanes).
+A window is V[by, bx:bx+WB]: both indices ride NON-tiled outer dims, so
+dynamic offsets are legal (dynamic LANE offsets are rejected by Mosaic).
 
-Usage: python tools/probe_warp_proto.py
+Usage: python tools/probe_warp_proto.py [GROUP ...]   (default 8 16 32)
 """
 
 from __future__ import annotations
@@ -23,126 +27,145 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 
-GROUP = 8
-WINDOW = 24
-FP = 16          # padded channel count (lanes per pixel)
-LANES = WINDOW * FP  # 384
+FP = 16           # padded channel count (lanes per pixel)
+BLK = 128         # 8 px * FP
 
 
-B = 8  # groups per grid step
+def make_kernel(group, b_batch):
+    wb = group // 8 + 2          # window blocks across
+    wrows = 8 * wb               # window rows
+    npix = group * group
+
+    def kernel(byx_ref, v_any, ly, lx, out, scr, sem):
+        b = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def dma(slot, bi, k):
+            g = bi * b_batch + k
+            packed = byx_ref[g]
+            by = jax.lax.div(packed, 4096)
+            bx = jax.lax.rem(packed, 4096)
+            return pltpu.make_async_copy(
+                v_any.at[by, pl.ds(bx, wb)], scr.at[slot, k],
+                sem.at[slot, k])
+
+        @pl.when(b == 0)
+        def _():
+            for k in range(b_batch):
+                dma(0, 0, k).start()
+
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < n)
+        def _():
+            for k in range(b_batch):
+                dma(jax.lax.rem(b + 1, 2), b + 1, k).start()
+
+        yy = jax.lax.broadcasted_iota(jnp.int32, (npix, wrows), 1).astype(
+            jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (npix, BLK), 1).astype(
+            jnp.float32)
+        xsub = jnp.floor(lane / FP)
+        for k in range(b_batch):
+            dma(slot, b, k).wait()
+            lyv = ly[k, :]
+            lxv = lx[k, :]
+            wy = jnp.maximum(0.0, 1.0 - 0.5 * jnp.abs(lyv[:, None] - yy))
+            s128 = jnp.zeros((npix, BLK), jnp.float32)
+            for i in range(wb):
+                win = scr[slot, k, i].astype(jnp.float32)  # [wrows, BLK]
+                t = jnp.dot(wy, win, preferred_element_type=jnp.float32)
+                xpos = xsub + (8.0 * i)
+                wx = jnp.maximum(0.0,
+                                 1.0 - 0.5 * jnp.abs(lxv[:, None] - xpos))
+                s128 = s128 + t * wx
+            acc = jnp.zeros((npix, FP), jnp.float32)
+            for j in range(8):
+                acc = acc + s128[:, j * FP:(j + 1) * FP]
+            out[k, :, :] = acc
+
+    return kernel, wb, wrows, npix
 
 
-def kernel(byx_ref, v_any, ly, lx, out, scr, sem):
-    """Grid over batches of B groups; one [24, 384] window DMA per group,
-    double-buffered across batches.
-
-    byx_ref: [G, 2] i32 in SMEM (prefetched): block-row and x lane offset.
-    v_any:   [HB, 24, WF] bf16 vertical-triple tensor (ANY/HBM).
-    ly/lx:   [B, 64] f32 blocks (per-group local coords).
-    out:     [B, 64, FP] f32 block.
-    scr:     [2, B, 24, LANES] bf16; sem: [2, B] DMA semaphores.
-    """
-    b = pl.program_id(0)
-    n = pl.num_programs(0)
-
-    def dma(slot, bi, k):
-        g = bi * B + k
-        by = byx_ref[g, 0]
-        xo = byx_ref[g, 1]
-        return pltpu.make_async_copy(
-            v_any.at[by, :, pl.ds(xo, LANES)], scr.at[slot, k],
-            sem.at[slot, k])
-
-    @pl.when(b == 0)
-    def _():
-        for k in range(B):
-            dma(0, 0, k).start()
-
-    slot = jax.lax.rem(b, 2)
-
-    @pl.when(b + 1 < n)
-    def _():
-        for k in range(B):
-            dma(jax.lax.rem(b + 1, 2), b + 1, k).start()
-
-    yy = jax.lax.broadcasted_iota(jnp.float32, (64, WINDOW), 1)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (64, LANES), 1)
-    xpos = jnp.floor(lane / FP)
-    for k in range(B):
-        dma(slot, b, k).wait()
-        win = scr[slot, k].astype(jnp.float32)  # [24, LANES]
-        lyv = ly[k, :]
-        lxv = lx[k, :]
-        wy = jnp.maximum(0.0, 1.0 - 0.5 * jnp.abs(lyv[:, None] - yy))
-        t = jnp.dot(wy, win, preferred_element_type=jnp.float32)
-        wx = jnp.maximum(0.0, 1.0 - 0.5 * jnp.abs(lxv[:, None] - xpos))
-        tw = t * wx
-        acc = jnp.zeros((64, FP), jnp.float32)
-        for i in range(WINDOW):
-            acc = acc + tw[:, i * FP:(i + 1) * FP]
-        out[k, :, :] = acc
-
-
-def main():
-    hb, wf = 137, 1920 * FP
-    gy, gx = 135, 240
+def run_case(group, b_batch=None):
+    if b_batch is None:
+        b_batch = max(1, min(8, 512 // (group * group // 8)))
+    kernel, wb, wrows, npix = make_kernel(group, b_batch)
+    gy, gx = 1080 // group, 1920 // group
     G = gy * gx
+    G -= G % b_batch
+    hb, wbt = 137, 242
     rng = np.random.default_rng(0)
-    v = jnp.asarray(rng.normal(size=(hb, 24, wf)).astype(np.float32)
-                    .astype(jnp.bfloat16))
+    v = jnp.asarray(rng.normal(size=(hb, wbt, wrows, BLK))
+                    .astype(np.float32).astype(jnp.bfloat16))
     by = rng.integers(0, hb, G).astype(np.int32)
-    xo = (rng.integers(0, 1920 - 24, G) * FP).astype(np.int32)
-    byx = jnp.asarray(np.stack([by, xo], -1))
-    ly = jnp.asarray(rng.uniform(0, 24, (G, 64)).astype(np.float32))
-    lx = jnp.asarray(rng.uniform(0, 24, (G, 64)).astype(np.float32))
+    bx = rng.integers(0, wbt - wb, G).astype(np.int32)
+    byx = jnp.asarray(by * 4096 + bx)
+    ly = jnp.asarray(rng.uniform(0, wrows, (G, npix)).astype(np.float32))
+    lx = jnp.asarray(rng.uniform(0, wrows, (G, npix)).astype(np.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(G // B,),
+        grid=(G // b_batch,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec((B, 64), lambda g, byx: (g, 0)),
-            pl.BlockSpec((B, 64), lambda g, byx: (g, 0)),
+            pl.BlockSpec((b_batch, npix), lambda g, byx: (g, 0)),
+            pl.BlockSpec((b_batch, npix), lambda g, byx: (g, 0)),
         ],
-        out_specs=pl.BlockSpec((B, 64, FP), lambda g, byx: (g, 0, 0)),
+        out_specs=pl.BlockSpec((b_batch, npix, FP),
+                               lambda g, byx: (g, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, B, 24, LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, B)),
+            pltpu.VMEM((2, b_batch, wb, wrows, BLK), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, b_batch)),
         ],
     )
     fn = pl.pallas_call(
         functools.partial(kernel),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, 64, FP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, npix, FP), jnp.float32),
     )
     run = jax.jit(lambda b, vv, a, c: fn(b, vv, a, c))
     out = jax.block_until_ready(run(byx, v, ly, lx))
-    t0 = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        out = run(byx, v, ly, lx)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"warp-window kernel: {dt:.3f} ms for G={G} "
-          f"({dt*1e6/G:.0f} ns/group)")
 
-    # correctness spot-check vs numpy for a few groups
+    iters = 20
+
+    @jax.jit
+    def timed(b, vv, a, c):
+        def body(carry, i):
+            o = fn(b, vv, a + carry, c)
+            return carry + 1e-3, jnp.sum(o[::97, ::7, 0])
+        return jax.lax.scan(body, 0.0, jnp.arange(iters))[1]
+
+    sums = jax.block_until_ready(timed(byx, v, ly, lx))
+    assert len(set(np.asarray(sums).tolist())) > 1, "identical!"
+    t0 = time.perf_counter()
+    jax.block_until_ready(timed(byx, v, ly, lx))
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    px = G * npix
+    print(f"GROUP={group} B={b_batch}: {dt:.2f} ms for {G} windows "
+          f"({px/1e6:.2f} Mpx, {dt*1e6/px:.1f} ns/px)")
+
+    # correctness spot-check
     vn = np.asarray(v.astype(jnp.float32))
     on = np.asarray(out)
-    for g in (0, 7, 12345):
-        win = vn[by[g], :, xo[g]:xo[g] + LANES]
-        yy = np.arange(24)
+    for g in (0, G // 2):
+        win = vn[by[g], bx[g]:bx[g] + wb]
+        win = np.concatenate(list(win), axis=-1)
+        win = win.reshape(wrows, wb * 8, FP)
         wy = np.maximum(0.0, 1.0 - 0.5 * np.abs(
-            np.asarray(ly)[g][:, None] - yy))
-        t = wy @ win
-        lane = np.arange(LANES)
-        xpos = lane // FP
+            np.asarray(ly)[g][:, None] - np.arange(wrows)))
+        t = np.einsum("py,yxf->pxf", wy, win)
         wx = np.maximum(0.0, 1.0 - 0.5 * np.abs(
-            np.asarray(lx)[g][:, None] - xpos))
-        tw = t * wx
-        want = tw.reshape(64, 24, FP).sum(1)
+            np.asarray(lx)[g][:, None] - np.arange(wb * 8)))
+        want = np.einsum("pxf,px->pf", t, wx)
         err = np.abs(want - on[g]).max() / (np.abs(want).max() + 1e-6)
         print(f"  group {g}: rel err {err:.2e}")
+
+
+def main():
+    groups = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
+    for g in groups:
+        run_case(g)
 
 
 if __name__ == "__main__":
