@@ -15,14 +15,45 @@ def rand_reservoir(rng, size):
             r[k] = jnp.asarray(rng.integers(0, 5, v.shape), jnp.int32)
         else:
             r[k] = jnp.asarray(rng.uniform(0, 1, v.shape), jnp.float32)
+    # fields with quantized storage classes (the reference's 64-byte struct,
+    # light.wgsl:35-43): normals snorm8, lifetime u8, sample_pos.w a flag
+    r["visible_normal"] = r["visible_normal"] / jnp.maximum(
+        jnp.linalg.norm(r["visible_normal"], axis=-1, keepdims=True), 1e-6)
+    r["sample_normal"] = r["sample_normal"] / jnp.maximum(
+        jnp.linalg.norm(r["sample_normal"], axis=-1, keepdims=True), 1e-6)
+    r["lifetime"] = jnp.round(r["lifetime"] * 100.0)
+    r["sample_position"] = r["sample_position"].at[..., 3].set(
+        (r["sample_position"][..., 3] > 0.5).astype(jnp.float32))
     return r
+
+
+# per-field tolerances of the packed 64-byte layout (bf16 / unorm16 /
+# snorm8 storage classes — matching light.wgsl:35-43)
+_PACK_TOL = {
+    "visible_position": 0.0, "visible_instance": 0.0, "lifetime": 0.0,
+    "sample_position": 0.0,
+    "radiance": 4e-3, "count": 4e-3, "w": 4e-3, "w_sum": 4e-3,
+    "w2_sum": 4e-3,
+    "random": 1e-4,
+    "visible_normal": 5e-3, "sample_normal": 5e-3,
+}
 
 
 def test_pack_unpack_roundtrip(rng):
     r = rand_reservoir(rng, (4, 6))
-    r2 = rsv.unpack_reservoir(rsv.pack_reservoir(r))
+    packed = rsv.pack_reservoir(r)
+    assert packed.shape[-1] == rsv.PACKED_WIDTH == 16  # 64 B/pixel
+    r2 = rsv.unpack_reservoir(packed)
     for k in r:
-        assert np.allclose(np.asarray(r[k]), np.asarray(r2[k])), k
+        tol = _PACK_TOL[k]
+        a, b = np.asarray(r[k], np.float32), np.asarray(r2[k], np.float32)
+        assert np.allclose(a, b, atol=tol, rtol=tol), (
+            k, np.abs(a - b).max())
+    # double roundtrip is exact (quantization is idempotent)
+    r3 = rsv.unpack_reservoir(rsv.pack_reservoir(r2))
+    for k in r2:
+        assert np.allclose(np.asarray(r2[k], np.float32),
+                           np.asarray(r3[k], np.float32), atol=1e-6), k
 
 
 def test_update_reservoir_statistics(rng):
@@ -70,8 +101,10 @@ def test_gather_scatter_roundtrip(rng):
     valid = jnp.ones(size, bool)
     g = rsv.gather_reservoir(r, iy, ix, valid)
     for k in r:
-        expect = np.asarray(r[k])[np.asarray(iy), np.asarray(ix)]
-        assert np.allclose(np.asarray(g[k]), expect), k
+        expect = np.asarray(r[k], np.float32)[np.asarray(iy), np.asarray(ix)]
+        tol = _PACK_TOL[k]
+        assert np.allclose(np.asarray(g[k], np.float32), expect,
+                           atol=tol, rtol=tol), k
     # masked gather yields empty
     g2 = rsv.gather_reservoir(r, iy, ix, jnp.zeros(size, bool))
     assert np.allclose(np.asarray(g2["count"]), 0.0)
@@ -88,11 +121,12 @@ def test_scatter_writes_masked(rng):
     out = rsv.scatter_reservoir(dst, iy, ix, src, mask)
     m = np.asarray(mask)
     for k in dst:
-        o = np.asarray(out[k])
-        s = np.asarray(src[k])
-        d = np.asarray(dst[k])
+        o = np.asarray(out[k], np.float32)
+        s = np.asarray(src[k], np.float32)
+        d = np.asarray(dst[k], np.float32)
         mm = m[..., None] if o.ndim == 3 else m
-        assert np.allclose(o, np.where(mm, s, d)), k
+        tol = _PACK_TOL[k]
+        assert np.allclose(o, np.where(mm, s, d), atol=tol, rtol=tol), k
 
 
 def test_check_previous_reservoir_rejects(rng):

@@ -49,9 +49,11 @@ def _settings(**over):
 # scene key -> (example module, camera eye/target, screenshot, settings over)
 # Cameras are the reference examples' spawn poses (cited) unless noted.
 SCENES = {
-    # cornell.rs:49 Transform::from_xyz(0,1,4).looking_at((0,1,0))
-    "cornell": ("examples.cornell", (0.0, 1.0, 4.0), (0.0, 1.0, 0.0),
-                "cornell.png", {}),
+    # cornell.rs:49 from_xyz(0,1,4).looking_at((0,1,0)); the shot is
+    # slightly zoomed vs the spawn (orbit camera) — z estimated from the
+    # box's screen extent. cornell.rs:17 inserts ClearColor(BLACK).
+    "cornell": ("examples.cornell", (0.0, 1.0, 3.7), (0.0, 1.0, 0.0),
+                "cornell.png", dict(clear_color=(0.0, 0.0, 0.0, 1.0))),
     # simple.rs:256 from_xyz(-10,2.5,20).looking_at(ZERO)
     "simple-1": ("examples.simple", (-10.0, 2.5, 20.0), (0.0, 0.0, 0.0),
                  "simple-1.png", dict(emissive_spatial_reuse=True)),
@@ -77,7 +79,9 @@ def render(scene_key, size, frames):
 
     module, eye, target, shot, over = SCENES[scene_key]
     build = importlib.import_module(module).build_scene
-    settings = _settings(clear_color=(0.0, 0.0, 0.0, 1.0), **over)
+    # reference-default clear color (lib.rs:447) — the light-gray surround
+    # in the screenshots IS the clear color
+    settings = _settings(**over)
     cam = Camera.from_look_at(width=size[0], height=size[1],
                               eye=eye, target=target)
     r = Renderer(build(), cam, settings)
@@ -104,7 +108,10 @@ def main():
             os.path.join(SCREENSHOTS, shot)).convert("RGB"),
             np.float32) / 255.0
         h, w = ref.shape[:2]
-        ours = np.clip(render(key, (w, h), args.frames), 0.0, 1.0)
+        lin = np.clip(render(key, (w, h), args.frames), 0.0, 1.0)
+        # the screenshots are sRGB swapchain captures; encode ours to match
+        ours = np.where(lin <= 0.0031308, 12.92 * lin,
+                        1.055 * lin ** (1.0 / 2.4) - 0.055)
         score = ssim(ours, ref)
         lit = ref.max(-1) > 0.02
         mad = float(np.abs(ours - ref)[lit].mean())
