@@ -183,8 +183,13 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     cur_instance = _parity_sample_ctx(inst_ctx, prev_j, render_size)[..., 0]
     cur_depth = depth0
 
+    # bf16 window: exact for depth-ratio (5% threshold), velocity (1e-4
+    # threshold) and instance ids <= 256; for larger instance counts
+    # adjacent-id bf16 collisions can rarely keep stale history one frame
+    # (caught by the depth/velocity gates)
     aux, = warp_multi(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5,
-                      [("nearest", (0.0, 0.0), (0, 4))])
+                      [("nearest", (0.0, 0.0), (0, 4))],
+                      dtype=jnp.bfloat16)
     pmax = aux[..., 0]
     pinst = aux[..., 1]
     pvel = aux[..., 2:4]

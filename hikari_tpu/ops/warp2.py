@@ -99,12 +99,16 @@ def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float]], ...],
         xsub = jnp.floor(lane / FP)
         for k in range(B):
             dma(slot, b, k).wait()
-            wins = [scr[slot, k, i].astype(jnp.float32) for i in range(WB)]
+            # contraction inputs stay in the window dtype (f32 accumulate):
+            # for bf16 windows the MXU runs natively (f32 inputs cost a
+            # 3-pass decomposition); f32 windows keep full fidelity for
+            # callers that asked for it
+            wins = [scr[slot, k, i] for i in range(WB)]
             for r, (kname, (offy, offx)) in enumerate(reduces):
                 m = _margin(kname)
                 lyv = jnp.clip(ly[k, :] + offy, m - 1.0, WROWS - m)
                 lxv = jnp.clip(lx[k, :] + offx, m - 1.0, WROWS - m)
-                wy = _weights(lyv[:, None] - yy, kname)
+                wy = _weights(lyv[:, None] - yy, kname).astype(dtype)
                 s128 = jnp.zeros((npix, BLK), jnp.float32)
                 for i in range(WB):
                     t = jnp.dot(wy, wins[i],
@@ -215,7 +219,9 @@ def warp_multi(src, sy, sx,
     outs = fn(byx, v, ly, lx)
     results = []
     for (kname, off, (lo, hi)), o in zip(reduces, outs):
-        full = (o[:G0].reshape(gy, gx, GROUP, GROUP, FP)
-                .transpose(0, 2, 1, 3, 4).reshape(hh, ww, FP))
-        results.append(full[:h, :w, lo:hi])
+        # slice channels BEFORE the un-grouping transpose: the transpose is
+        # a real data-movement pass, so move only the requested channels
+        full = (o[:G0, :, lo:hi].reshape(gy, gx, GROUP, GROUP, hi - lo)
+                .transpose(0, 2, 1, 3, 4).reshape(hh, ww, hi - lo))
+        results.append(full[:h, :w])
     return results
