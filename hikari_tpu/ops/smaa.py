@@ -222,27 +222,42 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
 
     # 2x2 quad of the current tone around previous_output_uv + bias:
     # tone coord = c + (prev_j + 0.5 + bias)/2 - 0.5; corners static per
-    # (parity, bias)
+    # (parity, bias). Convert to YCoCg ONCE and cache every needed shift of
+    # the converted planes + their squares (each (bias, parity) quad reuses
+    # them), instead of 40 shifted conversions.
     s_mm = rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0))
+    s_sq = s_mm * s_mm
+    _shift_cache = {}
+
+    def ycc_at(dy, dx):
+        if (dy, dx) not in _shift_cache:
+            _shift_cache[(dy, dx)] = (_shift(s_mm, dy, dx),
+                                      _shift(s_sq, dy, dx))
+        return _shift_cache[(dy, dx)]
+
+    prev_ycc = rgb_to_ycocg(prev_color)
     clipped_variants = []
     for bi, (bx, by) in enumerate(biases):
-        taps = []
+        stats = []
         for parity_case in (0, 1):
             base_y = (parity_case + 0.5 + by) / 2.0 - 0.5
             base_x = (parity_case + 0.5 + bx) / 2.0 - 0.5
             y0 = int(np_floor(base_y))
             x0 = int(np_floor(base_x))
-            quad = [rgb_to_ycocg(jnp.clip(
-                _shift(current_color, y0 + ky, x0 + kx), 0.0, 1.0))
-                for ky in (0, 1) for kx in (0, 1)]
-            taps.append(quad)
-        quad = [jnp.where(prev_j == 0, a, b) for a, b in zip(taps[0], taps[1])]
-        m1 = sum(quad)
-        m2 = sum(t * t for t in quad)
+            m1 = 0.0
+            m2 = 0.0
+            for ky in (0, 1):
+                for kx in (0, 1):
+                    a, a2 = ycc_at(y0 + ky, x0 + kx)
+                    m1 = m1 + a
+                    m2 = m2 + a2
+            stats.append((m1, m2))
+        m1 = jnp.where(prev_j == 0, stats[0][0], stats[1][0])
+        m2 = jnp.where(prev_j == 0, stats[0][1], stats[1][1])
         mean = m1 / 4.0
         var = jnp.sqrt(jnp.maximum(m2 / 4.0 - mean * mean, 0.0))
         clipped_variants.append(ycocg_to_rgb(clip_towards_aabb_center(
-            rgb_to_ycocg(prev_color), s_mm, mean - var, mean + var)))
+            prev_ycc, s_mm, mean - var, mean + var)))
     clipped = clipped_variants[0]
     for bi in range(1, len(biases)):
         clipped = jnp.where((best_bias == bi)[..., None],

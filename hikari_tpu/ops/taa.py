@@ -145,15 +145,18 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
 
     need_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)
 
-    def samp(du, dv):
-        c = _shift(current[..., :3], dv, du)
-        return rgb_to_ycocg(jnp.clip(c, 0.0, 1.0))
-
+    # separable 3x3 moment sums: convert to YCoCg ONCE, then 2+2 shift-adds
+    # per moment instead of 9 shifted conversions (taps are an unweighted
+    # box, so row-sum-then-column-sum is exact)
     s_mm = rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0))
-    taps = [samp(-1, 1), samp(0, 1), samp(1, 1), samp(-1, 0), s_mm,
-            samp(1, 0), samp(-1, -1), samp(0, -1), samp(1, -1)]
-    m1 = sum(taps)
-    m2 = sum(t * t for t in taps)
+    s_sq = s_mm * s_mm
+
+    def box3(x):
+        r = x + _shift(x, 0, -1) + _shift(x, 0, 1)
+        return r + _shift(r, -1, 0) + _shift(r, 1, 0)
+
+    m1 = box3(s_mm)
+    m2 = box3(s_sq)
     mean = m1 / 9.0
     var = jnp.sqrt(jnp.maximum(m2 / 9.0 - mean * mean, 0.0))
     clipped = ycocg_to_rgb(clip_towards_aabb_center(
