@@ -568,7 +568,9 @@ def compile_scene(scene: Scene, universal=None) -> GpuScene:
     arrays["em_leaf_order"] = (em_payload[em_is_leaf].astype(np.int32)
                                if num_emissives else np.zeros(1, np.int32))
     _add_emissive_tri_tables(arrays)
-    if num_tris > 4096 and universal.build_mesh_acceleration_structure:
+    # cull tables whenever the tile-cull engine can win (measured crossover
+    # vs the 8-packed brute kernel at T ~700, tools/probe_crossover.py)
+    if num_tris > 512 and universal.build_mesh_acceleration_structure:
         from hikari_tpu.models.clusters import build_cluster_tables
 
         arrays.update(build_cluster_tables(

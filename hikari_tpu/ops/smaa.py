@@ -76,6 +76,28 @@ def _parity_sample_ctx(ctx, parity, render_size, ky: int = 0, kx: int = 0):
     return jnp.where(parity == 0, pick(ky, kx), pick(ky + 1, kx + 1))
 
 
+def _parity_sample_generic(full, parity, render_size, ky: int = 0,
+                           kx: int = 0):
+    """Arbitrary-ratio path (Upscale::ratio anywhere in [1,2],
+    lib.rs:474-513): the output grid is 2x render_size, the G-buffer is at
+    window size — nearest-sample it at output coords via separable axis
+    takes (correctness path; the ratio-1/2 fast paths use static slices)."""
+    h, w = render_size
+    H, W = full.shape[:2]
+    oh, ow = 2 * h, 2 * w
+
+    def take(j):
+        ys = jnp.clip(jnp.floor(
+            (2.0 * jnp.arange(h) + j + ky + 0.5) * (H / oh)
+        ).astype(jnp.int32), 0, H - 1)
+        xs = jnp.clip(jnp.floor(
+            (2.0 * jnp.arange(w) + j + kx + 0.5) * (W / ow)
+        ).astype(jnp.int32), 0, W - 1)
+        return jnp.take(jnp.take(full, ys, axis=0), xs, axis=1)
+
+    return jnp.where(parity == 0, take(0), take(1))
+
+
 def _parity_sample(full, parity, render_size, ky: int = 0, kx: int = 0):
     """`full` [H2,W2,C] sampled (nearest) at output coords (2c + parity + k)
     for each render-res pixel c, where the output grid is 2x render_size.
@@ -89,6 +111,8 @@ def _parity_sample(full, parity, render_size, ky: int = 0, kx: int = 0):
 
     h2, w2 = full.shape[:2]
     rh, rw = render_size
+    if h2 not in (rh, 2 * rh) or w2 not in (rw, 2 * rw):
+        return _parity_sample_generic(full, parity, render_size, ky, kx)
     stride_y = 2 if h2 == 2 * rh else 1
     stride_x = 2 if w2 == 2 * rw else 1
     pad = 8

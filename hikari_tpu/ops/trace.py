@@ -328,13 +328,18 @@ def _default_with_info(trace_fn):
     return with_info
 
 
-def make_tracer(num_triangles: int, brute_force_max: int = 4096, tile: int = 512):
+def make_tracer(num_triangles: int, brute_force_max: int = 768, tile: int = 512):
     """Pick the traversal engine at pipeline-build time (static specialization,
     the analog of the reference's pipeline keys).
 
     Small scenes: Pallas brute force on TPU (streams every triangle over a
-    VMEM-resident ray tile — measured ~1000x the XLA formulation), XLA scan
-    elsewhere. Large scenes: lockstep BVH traversal.
+    VMEM-resident ray tile), XLA scan elsewhere. Above ~700 triangles the
+    tile-cull engine wins (measured crossover, tools/probe_crossover.py:
+    brute8 scales ~0.035 ns/pair linearly; cull is ~10-18 ns/ray flat —
+    equal at T~700 for 720p primaries). This study also retires the PERF.md
+    MXU all-pairs design: its min-reduction epilogue is VPU-bound in the
+    same class as the 8-packed loop, so the MXU matmuls cannot beat the
+    cull engine's flat cost where brute force loses.
     """
     try:
         on_tpu = any(d.platform != "cpu" for d in jax.devices())

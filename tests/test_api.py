@@ -67,3 +67,30 @@ def test_smaa_ratio1_supersampling():
     img = r.render(frames=3)
     assert img.shape == (40, 64, 4)
     assert np.isfinite(img).all()
+
+
+def test_smaa_continuous_ratio():
+    """Upscale::ratio anywhere in [1,2] (lib.rs:474-513): ratio 1.5 renders
+    lighting at size/1.5, SMAA doubles it, overlay resamples to target."""
+    from examples.minimal import build_scene
+
+    st = dataclasses.replace(HikariSettings(),
+                             upscale=Upscale.smaa_tu4x(1.5), denoise=False)
+    cam = Camera.from_look_at((-2, 2.5, 5), (0, 0, 0), width=96, height=60)
+    r = Renderer(build_scene(), cam, st)
+    img = r.render(frames=3)
+    assert img.shape == (60, 96, 4)
+    assert np.isfinite(img).all()
+    assert img[..., :3].max() > 0.05  # actually lit
+
+
+def test_fsr_continuous_ratio():
+    from examples.minimal import build_scene
+
+    st = dataclasses.replace(HikariSettings(),
+                             upscale=Upscale.fsr1(1.3), denoise=False)
+    cam = Camera.from_look_at((-2, 2.5, 5), (0, 0, 0), width=96, height=60)
+    r = Renderer(build_scene(), cam, st)
+    img = r.render(frames=2)
+    assert img.shape == (60, 96, 4)
+    assert np.isfinite(img).all()
