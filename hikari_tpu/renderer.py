@@ -32,7 +32,7 @@ class Renderer:
 
     def __init__(self, scene: Union[Scene, GpuScene], camera: Camera,
                  settings: Optional[HikariSettings] = None,
-                 brute_force_max: int = 4096,
+                 brute_force_max: Optional[int] = None,
                  bloom_settings=None, fxaa: bool = False):
         self.settings = settings or HikariSettings()
         self.camera = camera
@@ -44,8 +44,9 @@ class Renderer:
         self.noise = noise_constant()
         self.full_size = (camera.height, camera.width)
         self.no_texture = self.gpu_scene.num_textures == 0
-        self.tracer = make_tracer(self.gpu_scene.num_triangles,
-                                  brute_force_max=brute_force_max)
+        tracer_kw = ({} if brute_force_max is None
+                     else dict(brute_force_max=brute_force_max))
+        self.tracer = make_tracer(self.gpu_scene.num_triangles, **tracer_kw)
         # donate the carry: the previous frame's reservoirs/history buffers
         # are dead once the new carry exists (the functional analog of the
         # reference's in-place ping-pong buffers)
@@ -75,6 +76,31 @@ class Renderer:
         self.carry = self._fresh_carry()
         self._frame_index = 0
         self._prev_view_initialized = False
+
+    def update_settings(self, **changes):
+        """Live settings retune — the functional analog of the reference's
+        egui inspector (examples/cornell.rs:26 WorldInspectorPlugin).
+
+        Dynamic fields (validation intervals, reuse caps, lifetime, solar
+        angle, bounce clamp, clear color) ride the per-frame FrameUniform,
+        so they apply NEXT frame with zero recompilation. Changing a
+        static-key field (taa/upscale/denoise/reuse toggles/bounce count —
+        config.static_key) rebuilds the pipeline like the reference's
+        pipeline-cache respecialization."""
+        import dataclasses
+
+        old_key = self.settings.static_key()
+        self.settings = dataclasses.replace(self.settings, **changes)
+        if self.settings.static_key() != old_key:
+            self._frame_fn = jax.jit(
+                build_render_frame(
+                    self.settings, self.full_size, self.tracer,
+                    self.no_texture,
+                    num_emissives=self.gpu_scene.num_emissives,
+                    has_sun=self.gpu_scene.has_sun),
+                donate_argnums=(4,))
+            self.carry = self._fresh_carry()
+            self._frame_index = 0
 
     def update_scene(self, scene: Scene, fast: bool = False,
                      device: bool = True):

@@ -94,3 +94,24 @@ def test_fsr_continuous_ratio():
     img = r.render(frames=2)
     assert img.shape == (60, 96, 4)
     assert np.isfinite(img).all()
+
+
+def test_update_settings_live():
+    """Dynamic fields retune without recompilation; static-key changes
+    rebuild the pipeline (the reference's inspector + pipeline cache)."""
+    from examples.minimal import build_scene
+
+    st = dataclasses.replace(HikariSettings(), denoise=False, taa=Taa.NONE,
+                             upscale=Upscale.none())
+    cam = Camera.from_look_at((-2, 2.5, 5), (0, 0, 0), width=64, height=40)
+    r = Renderer(build_scene(), cam, st)
+    r.render_frame()
+    fn_before = r._frame_fn
+    r.update_settings(solar_angle=0.1, max_indirect_luminance=5.0)
+    assert r._frame_fn is fn_before  # dynamic: no rebuild
+    img = np.asarray(r.render_frame())
+    assert np.isfinite(img).all()
+    r.update_settings(indirect_bounces=2)
+    assert r._frame_fn is not fn_before  # static: respecialized
+    img = np.asarray(r.render_frame())
+    assert np.isfinite(img).all()
