@@ -121,8 +121,19 @@ def resample_deferred(img, render_size, frame_number, ratio: float):
 
 
 def resample_gbuffer(gbuf, render_size, frame_number, ratio: float):
-    return {k: resample_deferred(v, render_size, frame_number, ratio)
-            for k, v in gbuf.items()}
+    """Decimate every G-buffer plane in ONE pass: the parity decimation's
+    reshape is a real layout pass per tensor, so concatenate the planes
+    (15 channels) and run it once (~3x fewer 1080p passes at ratio 2)."""
+    keys = sorted(gbuf.keys())
+    widths = [gbuf[k].shape[-1] for k in keys]
+    cat = jnp.concatenate([gbuf[k] for k in keys], axis=-1)
+    dec = resample_deferred(cat, render_size, frame_number, ratio)
+    out = {}
+    o = 0
+    for k, n in zip(keys, widths):
+        out[k] = dec[..., o:o + n]
+        o += n
+    return out
 
 
 def uv_to_coords(uv, size):

@@ -89,7 +89,7 @@ def make_kernel(group, b_batch):
 
 def run_case(group, b_batch=None):
     if b_batch is None:
-        b_batch = max(1, min(8, 512 // (group * group // 8)))
+        b_batch = 8  # block first dim must be divisible by 8
     kernel, wb, wrows, npix = make_kernel(group, b_batch)
     gy, gx = 1080 // group, 1920 // group
     G = gy * gx
