@@ -126,15 +126,23 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             g_l, rand_l, reproj_l = g, rand, reproj
             light_size = render_size
 
-        def to_full(render_c, var_c):
-            """Expand a lighting-domain (render, variance) pair to full
-            render res, filling inactive pixels depth/normal-aware."""
+        def to_full_many(items):
+            """Expand lighting-domain (render, variance) pairs to full
+            render res in ONE reconstruction (the depth/normal neighbor
+            gates are shared across channels — computing them per channel
+            measured ~4.5 ms at 1080p)."""
             if not ckb:
-                return render_c, var_c
-            both = jnp.concatenate([render_c, var_c[..., None]], -1)
-            bf = ckb_ops.reconstruct(ckb_ops.expand(both, par), amask,
+                return items
+            cat = jnp.concatenate(
+                [jnp.concatenate([r, v[..., None]], -1) for r, v in items],
+                axis=-1)
+            bf = ckb_ops.reconstruct(ckb_ops.expand(cat, par), amask,
                                      g["position"][..., 3], g["normal"])
-            return bf[..., :4], bf[..., 4]
+            return [(bf[..., 5 * i:5 * i + 4], bf[..., 5 * i + 4])
+                    for i in range(len(items))]
+
+        def to_full(render_c, var_c):
+            return to_full_many([(render_c, var_c)])[0]
 
         def temporal_full_packed(r_l, carry_key):
             """This frame's temporal reservoirs as a full-res packed tensor
@@ -171,9 +179,13 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         # --- direct channel (RENDER_EMISSIVE); when the scene has no sun the
         # solar NEE term is identically zero, so the shadow trace is skipped
-        # statically and only the surface-emission add remains
+        # statically and only the surface-emission add remains.
+        # Channels whose output is not consumed by spatial reuse defer their
+        # checkerboard reconstruction into one shared to_full_many flush.
+        deferred = []
         spatial_de = carry["spatial_de"]
         d_temporal_packed = carry["direct_temporal"]
+        d_render = d_var = None
         if has_sun:
             d = restir.direct_lit(
                 scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[0],
@@ -183,7 +195,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 render_size=light_size)
             if track_de:
                 spatial_de = d["prev_spatial_packed"]
-            d_render, d_var = to_full(d["render"], d["variance"])
+            deferred.append(("d", d["render"], d["variance"]))
             if settings.temporal_reuse:
                 d_temporal_packed = temporal_full_packed(d["temporal"],
                                                          "direct_temporal")
@@ -202,7 +214,11 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 emissive_lit=True, temporal_reuse=settings.temporal_reuse,
                 no_texture=no_texture, track_spatial=track_de,
                 render_size=light_size)
-            e_render, e_var = to_full(e["render"], e["variance"])
+            if track_de:
+                e_render, e_var = to_full(e["render"], e["variance"])
+            else:
+                e_render = e_var = None
+                deferred.append(("e", e["render"], e["variance"]))
             if settings.temporal_reuse or (track_de and ckb):
                 e_temporal_packed = temporal_full_packed(e["temporal"],
                                                          "emissive_temporal")
@@ -243,7 +259,11 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             no_texture=no_texture, track_spatial=track_ind,
             render_size=light_size)
         if settings.indirect_bounces > 0:
-            i_render, i_var = to_full(i["render"], i["variance"])
+            if track_ind:
+                i_render, i_var = to_full(i["render"], i["variance"])
+            else:
+                i_render = i_var = None
+                deferred.append(("i", i["render"], i["variance"]))
             if settings.temporal_reuse or (track_ind and ckb):
                 i_temporal_packed = temporal_full_packed(i["temporal"],
                                                          "indirect_temporal")
@@ -265,6 +285,18 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             i_render = sp["render"]
             i_var = jnp.where(jnp.isnan(sp["variance"]), i_var, sp["variance"])
             spatial_ind = _zero_packed_where(~valid, spatial_ind)
+
+        # flush the shared checkerboard reconstruction for every deferred
+        # channel (ONE pass of neighbor gates for all of them)
+        if deferred:
+            flushed = to_full_many([(r, v) for _, r, v in deferred])
+            for (slot, _, _), (rf, vf) in zip(deferred, flushed):
+                if slot == "d":
+                    d_render, d_var = rf, vf
+                elif slot == "e":
+                    e_render, e_var = rf, vf
+                else:
+                    i_render, i_var = rf, vf
 
         # --- post process
         if settings.denoise:

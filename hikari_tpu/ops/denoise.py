@@ -115,12 +115,16 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
     # channel-stacked irradiance [h, w, 3C]: the tap shifts cover every
     # channel in one pass; per-channel scalar planes stay [h, w] (slices
     # along the outermost channel dim are layout-free bitcasts — avoid any
-    # [h, w, C, 3] broadcast materialization)
-    irr = jnp.concatenate(irrs, axis=-1)
+    # [h, w, C, 3] broadcast materialization). Between levels the stack is
+    # stored bf16: each of the 8 taps re-reads it, so halving its bytes
+    # halves the denoiser's dominant HBM traffic (quantization ~0.4% per
+    # level on demodulated irradiance, re-modulated by full-precision
+    # albedo at the end — inside the golden-image tolerance).
+    irr = jnp.concatenate(irrs, axis=-1).astype(jnp.bfloat16)
     ffs = [ff for _, _, ff in chans]
 
     def chan3(x, c):
-        return x[..., 3 * c:3 * c + 3]
+        return x[..., 3 * c:3 * c + 3].astype(jnp.float32)
 
     center_k = float(ATROUS_KERNEL[1, 1])
     for step in _STEPS:
@@ -186,7 +190,7 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
                                (ff_mean / jnp.maximum(lum0[c], 1e-30))[..., None]
                                * ni, ni)
             new_irrs.append(ni)
-        irr = jnp.concatenate(new_irrs, axis=-1)
+        irr = jnp.concatenate(new_irrs, axis=-1).astype(jnp.bfloat16)
 
     outs = []
     for c in range(nch):
