@@ -315,6 +315,60 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
                                  gate)
         return r2, s2
 
+    if not temporal_reuse and not track_spatial:
+        # Static no-reuse specialization (the flagship BASELINE config):
+        # with an EMPTY previous reservoir the WRS update always replaces
+        # (count 0 -> 1 at rand < w/w), the temporal clamp is a no-op,
+        # finalize gives w = w_new / lum(rad), and the stored variance
+        # (w2/c - (w/c)^2 at c=1) is identically ZERO — so the whole
+        # reservoir algebra reduces to plain NEE with the SAME values,
+        # skipping ~15 full-res passes per channel.
+        cand, info = select_light_candidate(
+            scene, tracer, rand_f, pos_f, nrm_f, inst_f,
+            frame["solar_angle"], sample_emissive=emissive_lit)
+        ro = pos_f + nrm_f * RAY_BIAS
+        rd = cand["direction"]
+        trace_ok = (dot3(rd, nrm_f) > 0.0) & (cand["p"] > 0.0)
+        if emissive_lit:
+            trace_ok &= cand["emissive_instance"] >= 0
+        shadow_trace = getattr(tracer, "shadow", tracer)
+        hit = shadow_trace(scene, ro, rd, cand["max_distance"],
+                           cand["emissive_instance"], None,
+                           cand["min_distance"], shape2d=render_size)
+        info = occlude_hit_info(ro, rd, hit, info)
+        rad = input_radiance(
+            scene, rd, info["instance"], info["material"], info["uv"],
+            sample_directional=not emissive_lit,
+            sample_emissive=cand["emissive_instance"],
+            sample_ambient=False, solar_angle=frame["solar_angle"],
+            no_texture=no_texture)
+        rad = jnp.where(trace_ok[:, None], rad, 0.0)
+        lum = luminance(rad[:, :3])
+        w_new = jnp.where(cand["p"] > 0.0,
+                          lum / jnp.maximum(cand["p"], 1e-30), 0.0)
+        w_f = jnp.where(lum > 0.0, w_new / jnp.maximum(lum, 1e-30), 0.0)
+        w2d = jnp.where(valid, _unflat(w_f, render_size), 0.0)
+
+        material = g["instance_material"][..., 1].astype(jnp.int32)
+        surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+        view_dir = calculate_view(view, g["position"][..., :3])
+        sample_pos = _unflat(info["position"], render_size)
+        l_dir = normalize(sample_pos[..., :3]
+                          - s["visible_position"][..., :3])
+        out = shading(scene, view_dir, s["visible_normal"], l_dir, surface,
+                      _unflat(rad, render_size)) * w2d[..., None]
+        if not emissive_lit:
+            out = out + compute_emissive_radiance(surface["emissive"])
+        render = jnp.where(
+            valid[..., None],
+            jnp.concatenate([out, jnp.ones_like(depth)[..., None]], -1), 0.0)
+        zero = jnp.zeros((h, w))
+        empty = rsv.empty_reservoir(render_size)
+        return {"render": render, "variance": zero, "temporal": empty,
+                "prev_spatial_packed": prev_spatial_packed,
+                "reservoir": empty, "surface": surface,
+                "view_dir": view_dir, "valid": valid}
+
     r, s = sample_branch(r)
 
     def validation_branch(args):
@@ -548,12 +602,6 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
 
     # temporal ReSTIR (light.wgsl:1452-1497)
     mesh_uv = g["velocity_uv"][..., 2:4]
-    r, reproj_ok = rsv.check_previous_reservoir(prev_r, s)
-    if track_spatial:
-        prev_spatial_packed = rsv.scatter_reservoir_packed(
-            prev_spatial_packed, reproj["piy"], reproj["pix"], r,
-            (~reproj_ok) & reproj["in_loose"] & valid)
-
     material = g["instance_material"][..., 1].astype(jnp.int32)
     surface = retrieve_surface(scene, material, mesh_uv, no_texture)
     view_dir = calculate_view(view, g["position"][..., :3])
@@ -562,8 +610,29 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
         normalize(s["sample_position"][..., :3] - s["visible_position"][..., :3]),
         surface, s["radiance"])
     pdf2 = _unflat(pdf, render_size)
+    lum_s = luminance(sample_rad)
     w_new = jnp.where(pdf2 > 0.0,
-                      luminance(sample_rad) / jnp.maximum(pdf2, 1e-30), 0.0)
+                      lum_s / jnp.maximum(pdf2, 1e-30), 0.0)
+
+    if not temporal_reuse and not track_spatial:
+        # static no-reuse specialization: the single-sample reservoir
+        # algebra reduces to sample_rad / pdf with zero stored variance
+        # (see direct_lit's fast path for the derivation)
+        w2d = jnp.where(valid & (lum_s > 0.0),
+                        w_new / jnp.maximum(lum_s, 1e-30), 0.0)
+        render = jnp.where(valid[..., None], jnp.concatenate(
+            [sample_rad * w2d[..., None], jnp.ones((h, w, 1))], -1), 0.0)
+        empty = rsv.empty_reservoir(render_size)
+        return {"render": render, "variance": jnp.zeros((h, w)),
+                "temporal": empty, "prev_spatial_packed": prev_spatial_packed,
+                "reservoir": empty, "surface": surface,
+                "view_dir": view_dir, "valid": valid}
+
+    r, reproj_ok = rsv.check_previous_reservoir(prev_r, s)
+    if track_spatial:
+        prev_spatial_packed = rsv.scatter_reservoir_packed(
+            prev_spatial_packed, reproj["piy"], reproj["pix"], r,
+            (~reproj_ok) & reproj["in_loose"] & valid)
     r = rsv.temporal_restir(r, s, w_new, frame["max_temporal_reuse_count"], valid)
 
     out_rad = shading(
