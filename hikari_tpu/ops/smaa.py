@@ -144,19 +144,21 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     current_color = tone[..., :3]
 
     # ---- velocity at previous_output_uv with 4-diagonal max-depth dilation
-    # (all affine: shared parity-decimation ctx + static shifts)
-    pos_ctx = _parity_ctx(gbuf["position"], render_size)
-    vel_ctx = _parity_ctx(gbuf["velocity_uv"], render_size)
-    inst_ctx = _parity_ctx(gbuf["instance_material"], render_size)
+    # (all affine: shared parity-decimation ctx + static shifts). Only the
+    # channels SMAA actually reads ride the ctx: depth (position.w),
+    # velocity.xy, instance — 4 decimated channels instead of 10.
+    pos_ctx = _parity_ctx(gbuf["position"][..., 3:4], render_size)
+    vel_ctx = _parity_ctx(gbuf["velocity_uv"][..., :2], render_size)
+    inst_ctx = _parity_ctx(gbuf["instance_material"][..., 0:1], render_size)
 
     def pos_at(ky, kx):
         return _parity_sample_ctx(pos_ctx, prev_j, render_size, ky, kx)
 
-    depth0 = pos_at(0, 0)[..., 3]
-    d_pp = pos_at(1, 1)[..., 3]
-    d_np = pos_at(1, -1)[..., 3]
-    d_pn = pos_at(-1, 1)[..., 3]
-    d_nn = pos_at(-1, -1)[..., 3]
+    depth0 = pos_at(0, 0)[..., 0]
+    d_pp = pos_at(1, 1)[..., 0]
+    d_np = pos_at(1, -1)[..., 0]
+    d_pn = pos_at(-1, 1)[..., 0]
+    d_nn = pos_at(-1, -1)[..., 0]
     depths = jnp.stack([d_pp, d_np, d_pn, d_nn], -1)
     max_depth = jnp.max(depths, -1)
     is_max = depths == max_depth[..., None]
@@ -237,7 +239,7 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
                 # gather4 corners of position.w at output coords 2c+prev_j+bias
                 iy = np_floor(by - 0.5) + ky
                 ix = np_floor(bx - 0.5) + kx
-                d = pos_at(iy, ix)[..., 3]
+                d = pos_at(iy, ix)[..., 0]
                 dds = dds + (cur_depth - d) ** 2
         dds = jnp.sqrt(dds)
         take = dds < min_ds

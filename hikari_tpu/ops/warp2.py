@@ -61,7 +61,8 @@ def _weights(dist, kernel: str):
     raise ValueError(kernel)
 
 
-def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float]], ...],
+def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float],
+                                      Tuple[int, int]], ...],
                  dtype):
     def kernel(byx_ref, v_any, ly, lx, *rest):
         nred = len(reduces)
@@ -104,7 +105,7 @@ def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float]], ...],
             # 3-pass decomposition); f32 windows keep full fidelity for
             # callers that asked for it
             wins = [scr[slot, k, i] for i in range(WB)]
-            for r, (kname, (offy, offx)) in enumerate(reduces):
+            for r, (kname, (offy, offx), (lo, hi)) in enumerate(reduces):
                 m = _margin(kname)
                 lyv = jnp.clip(ly[k, :] + offy, m - 1.0, WROWS - m)
                 lxv = jnp.clip(lx[k, :] + offx, m - 1.0, WROWS - m)
@@ -118,7 +119,10 @@ def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float]], ...],
                 acc = jnp.zeros((npix, FP), jnp.float32)
                 for j in range(8):
                     acc = acc + s128[:, j * FP:(j + 1) * FP]
-                outs[r][k, :, :] = acc
+                # write only the requested channel range: slicing the full
+                # [G, npix, 16] output afterwards costs a real pass (3.25
+                # ms profiled for the TAA aux slice at 1080p)
+                outs[r][k, :, :] = acc[:, lo:hi]
 
     return kernel
 
@@ -191,9 +195,11 @@ def warp_multi(src, sy, sx,
         lx = jnp.concatenate([lx, jnp.zeros((pad, npix))], axis=0)
         byx = jnp.concatenate([byx, jnp.zeros((pad,), jnp.int32)], axis=0)
 
-    red_key = tuple((k, (float(oy), float(ox))) for k, (oy, ox), _ in reduces)
+    red_key = tuple((k, (float(oy), float(ox)), (int(lo), int(hi)))
+                    for k, (oy, ox), (lo, hi) in reduces)
     kernel = _make_kernel(red_key, dtype)
     nred = len(reduces)
+    widths = [hi - lo for _, _, (lo, hi) in reduces]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G // B,),
@@ -202,8 +208,8 @@ def warp_multi(src, sy, sx,
             pl.BlockSpec((B, npix), lambda g, byx: (g, 0)),
             pl.BlockSpec((B, npix), lambda g, byx: (g, 0)),
         ],
-        out_specs=[pl.BlockSpec((B, npix, FP), lambda g, byx: (g, 0, 0))
-                   for _ in range(nred)],
+        out_specs=[pl.BlockSpec((B, npix, wd), lambda g, byx: (g, 0, 0))
+                   for wd in widths],
         scratch_shapes=[
             pltpu.VMEM((2, B, WB, WROWS, BLK), dtype),
             pltpu.SemaphoreType.DMA((2, B)),
@@ -212,16 +218,14 @@ def warp_multi(src, sy, sx,
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((G, npix, FP), jnp.float32)
-                   for _ in range(nred)],
+        out_shape=[jax.ShapeDtypeStruct((G, npix, wd), jnp.float32)
+                   for wd in widths],
         interpret=not on_tpu,
     )
     outs = fn(byx, v, ly, lx)
     results = []
-    for (kname, off, (lo, hi)), o in zip(reduces, outs):
-        # slice channels BEFORE the un-grouping transpose: the transpose is
-        # a real data-movement pass, so move only the requested channels
-        full = (o[:G0, :, lo:hi].reshape(gy, gx, GROUP, GROUP, hi - lo)
-                .transpose(0, 2, 1, 3, 4).reshape(hh, ww, hi - lo))
+    for wd, o in zip(widths, outs):
+        full = (o[:G0].reshape(gy, gx, GROUP, GROUP, wd)
+                .transpose(0, 2, 1, 3, 4).reshape(hh, ww, wd))
         results.append(full[:h, :w])
     return results
