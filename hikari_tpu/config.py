@@ -183,7 +183,13 @@ def make_frame_uniform(settings: HikariSettings, frame_number: int):
         "indirect_bounces": jnp.uint32(settings.indirect_bounces),
         "max_temporal_reuse_count": jnp.float32(settings.max_temporal_reuse_count),
         "max_spatial_reuse_count": jnp.float32(settings.max_spatial_reuse_count),
-        "max_reservoir_lifetime": jnp.float32(settings.max_reservoir_lifetime),
+        # packed reservoirs store lifetime as u8 (ops/reservoir.py lane 12),
+        # so a configured lifetime above the representable range would never
+        # fire the expiry purge (carried lifetime saturates at 255); clamp
+        # to 254 so saturated reservoirs always expire. <=1 keeps its
+        # "never expire" sentinel meaning (ops/restir.py spatial_reuse).
+        "max_reservoir_lifetime": jnp.float32(
+            min(settings.max_reservoir_lifetime, 254.0)),
         "solar_angle": jnp.float32(settings.solar_angle),
         "max_indirect_luminance": jnp.float32(settings.max_indirect_luminance),
         "clear_color": jnp.asarray(settings.clear_color, dtype=jnp.float32),

@@ -9,8 +9,9 @@ functional `carry` — zero host round-trips inside a frame.
 
 Gather discipline (TPU): the G-buffer is resampled to render resolution
 ONCE via strided slices; all three channels' temporal reprojection is ONE
-combined packed row-gather; spatial reservoirs stay packed [h,w,28] across
-the frame and receive at most a couple of packed row-scatters.
+combined packed row-gather; spatial reservoirs stay packed
+[h,w,rsv.PACKED_WIDTH] (64 B/pixel) across the frame and receive at most a
+couple of packed row-scatters.
 """
 
 from __future__ import annotations

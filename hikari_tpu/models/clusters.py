@@ -38,7 +38,9 @@ def build_cluster_tables(bvh, tri_pos_flat: np.ndarray, tri_attr: np.ndarray,
     cl_tri_packed  [C*cluster_size/8, 128] f32 — 8-packed pos rows
     cl_attr_packed [C*cluster_size/8, 128] f32 — 8-packed attr rows
     cl_aabb        [Cpad, 8] f32 — min(3) max(3) pad(2); padding rows are
-                   inverted AABBs that can never survive the cull
+                   inverted AABBs, rejected by cull_phase's explicit
+                   min<=max check (the interval slab test alone would
+                   let them survive at enter t=0)
     cl_count       int — real cluster count C
     """
     assert cluster_size % 8 == 0

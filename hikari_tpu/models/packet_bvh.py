@@ -1,12 +1,10 @@
 """Packet-traversal BVH: collapse the binary LBVH into ranged leaves.
 
-The large-scene TPU engine (ops/trace_packet.py) traverses one stackless
-entry/exit walk per ray PACKET (a block of coherent rays), with the whole
-node + triangle tables resident in VMEM. Packet descent decisions are
-packet-wide ORs, so fewer/fatter nodes win: this module collapses every
-binary subtree with <= max_leaf primitives into ONE leaf holding a
-contiguous primitive range (contiguous because the flatten orders leaves in
-DFS order — models/bvh.py `prim_order`).
+Consumed by the tile-cull engine (models/clusters.py -> ops/trace_cull.py):
+collapsing every binary subtree with <= max_leaf primitives into ONE leaf
+holding a contiguous primitive range (contiguous because the flatten orders
+leaves in DFS order — models/bvh.py `prim_order`) yields the fixed-size
+Morton-ordered spatial clusters the cull phase tests as units.
 
 Node row layout [N, 10] f32 (padded to 16 for the VMEM table):
     min(3), max(3), is_leaf, payload, exit, count

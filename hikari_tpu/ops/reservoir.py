@@ -2,10 +2,11 @@
 
 The reference packs reservoirs into 64-byte structs (fp16 radiance/weights,
 unorm16 randoms, snorm8 normals — light.wgsl:35-136) in 10 ping-pong storage
-buffers. Functionally a reservoir is just a struct of per-pixel fields; here
-each field is a dense [H,W(,C)] tensor and ping-pong becomes functional carry
-threading (SURVEY.md §7 design translation). fp32 throughout for round 1; a
-packed bf16/int8 layout is a later bandwidth optimization.
+buffers. Functionally a reservoir is just a struct of per-pixel fields; the
+working representation is a dict of dense [H,W(,C)] f32 tensors, and the
+carry representation is the packed [H,W,16] f32 tensor below — the
+reference's exact 64 B/pixel budget (bf16/unorm16/snorm8 lane bitcasts).
+Ping-pong becomes functional carry threading (SURVEY.md §7).
 
 Reservoir algebra matches light.wgsl:138-179 + 937-952.
 """

@@ -202,17 +202,22 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     for dx in (-3, -2, -1, 1, 2, 3):
         pooled = jnp.maximum(pooled, _shift(pooled_y, 0, dx))
 
+    # instance ids ride the bf16 window as id mod 256 — exactly
+    # representable in bf16 for ANY instance count (ids > 256 would
+    # otherwise collide with bf16's 8-bit mantissa); the comparison below
+    # wraps both sides, so only ids exactly 256 apart alias (and those are
+    # still gated by depth/velocity)
     pg = jnp.concatenate([pooled[..., None],
-                          prev_gbuf["instance_material"][..., 0:1],
+                          jnp.mod(prev_gbuf["instance_material"][..., 0:1],
+                                  256.0),
                           prev_gbuf["velocity_uv"][..., :2]], -1)
 
-    cur_instance = _parity_sample_ctx(inst_ctx, prev_j, render_size)[..., 0]
+    cur_instance = jnp.mod(
+        _parity_sample_ctx(inst_ctx, prev_j, render_size)[..., 0], 256.0)
     cur_depth = depth0
 
     # bf16 window: exact for depth-ratio (5% threshold), velocity (1e-4
-    # threshold) and instance ids <= 256; for larger instance counts
-    # adjacent-id bf16 collisions can rarely keep stale history one frame
-    # (caught by the depth/velocity gates)
+    # threshold) and the mod-256 instance ids
     aux, = warp_multi(pg, reproj_uy * oh - 0.5, reproj_ux * ow - 0.5,
                       [("nearest", (0.0, 0.0), (0, 4))],
                       dtype=jnp.bfloat16)

@@ -5,7 +5,7 @@ variance clip, then blend mix(prev, curr, 0.1 / upscale_ratio).
 
 TPU formulation: every *current-frame* tap is at a static offset -> static
 shifts; every *history* tap is at uv - velocity -> ONE shared warp window
-(ops.warp) serving the Catmull-Rom color fetch, the 5-bias depth-quad /
+(ops.warp2) serving the Catmull-Rom color fetch, the 5-bias depth-quad /
 position / velocity disocclusion probes. (The reference's 5-tap Catmull-Rom
 approximation becomes the exact 4x4 kernel here — same filter, full
 footprint.)

@@ -159,7 +159,13 @@ def cull_phase(cl_aabb, ro_t, rd_t, mt_t, cap: int = CAP):
     t_lo = jnp.maximum(tmin_ax.max(axis=-1), 0.0)        # [T,C]
     t_hi = tmax_ax.min(axis=-1)
     survive = (t_lo <= t_hi) & (t_hi >= 0.0) & (t_lo <= mt_max[:, None])
-    # padded clusters have inverted AABBs -> t_lo > t_hi -> culled
+    # padded clusters carry inverted AABBs ([1e30, -1e30]); the interval
+    # test does NOT reject them on its own (t_lo clamps to 0, t_hi stays
+    # huge when origin/direction intervals span the box), so kill them
+    # explicitly — otherwise every empty cluster survives at enter=0,
+    # sorts to the FRONT of every tile list and wastes cap slots
+    survive &= jnp.all(cl_aabb[None, :, 0:3] <= cl_aabb[None, :, 3:6],
+                       axis=-1)
 
     key = jnp.where(survive, t_lo, F32_MAX)              # front-to-back
     neg_enter, lists = jax.lax.top_k(-key, min(cap, c))

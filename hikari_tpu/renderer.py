@@ -99,6 +99,11 @@ class Renderer:
                     num_emissives=self.gpu_scene.num_emissives,
                     has_sun=self.gpu_scene.has_sun),
                 donate_argnums=(4,))
+            # settings-specialized caches must respecialize too — a stale
+            # _debug_fn would run the OLD pipeline (and crash on a carry
+            # shape change)
+            if hasattr(self, "_debug_fn"):
+                del self._debug_fn
             self.carry = self._fresh_carry()
             self._frame_index = 0
 
@@ -114,6 +119,16 @@ class Renderer:
         (also used as its test oracle)."""
         old_arrays = self.gpu_scene.arrays
         old_dev = self.scene_dev
+        if fast and device:
+            from hikari_tpu.ops.sampling import SMALL_EMISSIVE_MAX
+
+            # DeviceRefitter does not refit em_bvh_packed interior AABBs;
+            # that is only sound for <= SMALL_EMISSIVE_MAX emissives (the
+            # unrolled walk never reads interiors). Larger scenes fall back
+            # to the host refit so moved emitters are never culled against
+            # stale AABBs (refit_device.py "Limitation").
+            if self.gpu_scene.num_emissives > SMALL_EMISSIVE_MAX:
+                device = False
         if fast and device:
             from hikari_tpu.models.refit_device import DeviceRefitter
 

@@ -25,8 +25,10 @@ def golden_names():
                                   "cornell_denoised", "simple_raw"])
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
-    if not os.path.exists(path):
-        pytest.skip(f"golden {name} not generated (tools/make_goldens.py)")
+    # the four goldens are committed — a missing file is a repo regression,
+    # not a skip condition (VERDICT r2 weak #7)
+    assert os.path.exists(path), (
+        f"committed golden {name}.npz missing (tools/make_goldens.py)")
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,10 +1,9 @@
-"""Warp engine v2 (ops/warp2.py) vs the XLA warp engine (ops/warp.py) on
-smooth displacement fields (where no window clamping occurs in either)."""
+"""Warp engine v2 (ops/warp2.py) vs a pure-numpy sampling oracle on smooth
+displacement fields (where no window clamping occurs in the kernel)."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from hikari_tpu.ops.warp import build_warp, warp_reduce
 from hikari_tpu.ops.warp2 import warp_multi
 
 
@@ -20,7 +19,41 @@ def _fields(h, w, H, W, amp=3.0, seed=0):
             jnp.asarray(sx.astype(np.float32)))
 
 
-def test_warp2_matches_warp_kernels():
+def _w1d(dist, kernel):
+    """Same weight functions as warp2._weights, in numpy."""
+    if kernel == "nearest":
+        return ((np.abs(dist) <= 0.5) & (dist > -0.5)).astype(np.float64)
+    if kernel == "bilinear":
+        return np.maximum(0.0, 1.0 - np.abs(dist))
+    a = np.abs(dist)  # catmull (A = -0.5)
+    return np.where(
+        a < 1.0, 1.5 * a**3 - 2.5 * a**2 + 1.0,
+        np.where(a < 2.0, -0.5 * a**3 + 2.5 * a**2 - 4.0 * a + 2.0, 0.0))
+
+
+def _oracle(src, sy, sx, kernel, off=(0.0, 0.0), channels=None):
+    """Separable filter sample of src [H,W,F] at (sy+off_y, sx+off_x) —
+    pixel centers at integer coordinates, clamp-to-edge taps."""
+    src = np.asarray(src, np.float64)
+    H, W, F = src.shape
+    y = np.clip(np.asarray(sy, np.float64), 0.0, H - 1.0) + off[0]
+    x = np.clip(np.asarray(sx, np.float64), 0.0, W - 1.0) + off[1]
+    out = np.zeros(y.shape + (F,), np.float64)
+    base_y = np.floor(y).astype(np.int64)
+    base_x = np.floor(x).astype(np.int64)
+    for ty in range(-1, 3):
+        iy = np.clip(base_y + ty, 0, H - 1)
+        wy = _w1d(y - (base_y + ty), kernel)
+        for tx in range(-1, 3):
+            ix = np.clip(base_x + tx, 0, W - 1)
+            wx = _w1d(x - (base_x + tx), kernel)
+            out += (wy * wx)[..., None] * src[iy, ix]
+    if channels is not None:
+        out = out[..., channels[0]:channels[1]]
+    return out.astype(np.float32)
+
+
+def test_warp2_matches_numpy_oracle():
     rng = np.random.default_rng(1)
     H = W = 160
     h = w = 160
@@ -28,30 +61,38 @@ def test_warp2_matches_warp_kernels():
     src = jnp.asarray(rng.uniform(0, 1, (H, W, F)).astype(np.float32))
     sy, sx = _fields(h, w, H, W)
 
-    ctx = build_warp(src, sy, sx)
     outs2 = warp_multi(src, sy, sx, [
         ("nearest", (0.0, 0.0), (3, 10)),
         ("catmull", (0.0, 0.0), (0, 3)),
         ("bilinear", (0.0, 0.0), (0, 10)),
     ])
 
-    want_nearest = np.asarray(warp_reduce(ctx, "nearest", channels=(3, 10)))
+    want_nearest = _oracle(src, sy, sx, "nearest", channels=(3, 10))
     got = np.asarray(outs2[0])
-    # interior only: the two engines clamp differently at image borders
+    # interior only: the engine clamps differently at image borders
     s = np.s_[8:-8, 8:-8]
     frac_eq = np.mean(np.abs(got[s] - want_nearest[s]) < 1e-5)
     assert frac_eq > 0.995, frac_eq  # rare half-texel rounding ties may flip
 
-    want_cat = np.asarray(
-        warp_reduce(ctx, "catmull", channels=(0, 3), precise=True))
+    want_cat = _oracle(src, sy, sx, "catmull", channels=(0, 3))
     got = np.asarray(outs2[1])
     assert np.abs(got[s] - want_cat[s]).max() < 1e-3, \
         np.abs(got[s] - want_cat[s]).max()
 
-    want_bil = np.asarray(
-        warp_reduce(ctx, "bilinear", channels=(0, 10), precise=True))
+    want_bil = _oracle(src, sy, sx, "bilinear", channels=(0, 10))
     got = np.asarray(outs2[2])
     assert np.abs(got[s] - want_bil[s]).max() < 1e-3
+
+
+def test_warp2_offset_matches_oracle():
+    rng = np.random.default_rng(4)
+    H = W = 96
+    src = jnp.asarray(rng.uniform(0, 1, (H, W, 6)).astype(np.float32))
+    sy, sx = _fields(H, W, H, W, amp=2.0, seed=5)
+    out = warp_multi(src, sy, sx, [("bilinear", (1.0, -1.0), (0, 6))])[0]
+    want = _oracle(src, sy, sx, "bilinear", off=(1.0, -1.0), channels=(0, 6))
+    s = np.s_[8:-8, 8:-8]
+    assert np.abs(np.asarray(out)[s] - want[s]).max() < 1e-3
 
 
 def test_warp2_offsets_and_identity():
