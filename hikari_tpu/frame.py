@@ -178,114 +178,163 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                     reproj_l["in_strict"], r["visible_instance"], -1)
                 prev_rs[c] = r
 
-        # --- direct channel (RENDER_EMISSIVE); when the scene has no sun the
-        # solar NEE term is identically zero, so the shadow trace is skipped
-        # statically and only the surface-emission add remains.
-        # Channels whose output is not consumed by spatial reuse defer their
-        # checkerboard reconstruction into one shared to_full_many flush.
+        # --- fused mega-kernel fast path: the whole no-reuse lighting
+        # pipeline (all three channels: candidate select, probe, shadow,
+        # bounce, shading) runs in ONE Pallas kernel (ops/light_fused.py).
+        # Eligible for the small-scene brute-force class without textures;
+        # the modular alternative compiles to ~170 separate [H,W] XLA
+        # fusions that each round-trip HBM (round-2 profile).
+        from hikari_tpu.ops import light_fused as _lf
+
+        use_fused = (
+            not debug
+            and _lf.fused_eligible(
+                scene, no_texture=no_texture, num_emissives=num_emissives,
+                temporal_reuse=settings.temporal_reuse, track_de=track_de,
+                track_ind=track_ind,
+                tracer_kind=getattr(tracer, "kind", ""),
+                has_sun=has_sun, bounces=settings.indirect_bounces))
         deferred = []
         spatial_de = carry["spatial_de"]
-        d_temporal_packed = carry["direct_temporal"]
-        d_render = d_var = None
-        if has_sun:
-            d = restir.direct_lit(
-                scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[0],
-                spatial_de if track_de else None,
-                emissive_lit=False, temporal_reuse=settings.temporal_reuse,
-                no_texture=no_texture, track_spatial=track_de,
-                render_size=light_size)
-            if track_de:
-                spatial_de = d["prev_spatial_packed"]
-            deferred.append(("d", d["render"], d["variance"]))
-            if settings.temporal_reuse:
-                d_temporal_packed = temporal_full_packed(d["temporal"],
-                                                         "direct_temporal")
-        else:
-            d = restir.emissive_surface_channel(scene, g, no_texture,
-                                                render_size)
-            d_render, d_var = d["render"], d["variance"]
-
-        # --- emissive channel (EMISSIVE_LIT); statically skipped when the
-        # scene has no emissive instances (nothing to sample)
-        e_temporal_packed = carry["emissive_temporal"]
-        if num_emissives > 0:
-            e = restir.direct_lit(
-                scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[1],
-                spatial_de if track_de else None,
-                emissive_lit=True, temporal_reuse=settings.temporal_reuse,
-                no_texture=no_texture, track_spatial=track_de,
-                render_size=light_size)
-            if track_de:
-                e_render, e_var = to_full(e["render"], e["variance"])
-            else:
-                e_render = e_var = None
-                deferred.append(("e", e["render"], e["variance"]))
-            if settings.temporal_reuse or (track_de and ckb):
-                e_temporal_packed = temporal_full_packed(e["temporal"],
-                                                         "emissive_temporal")
-        else:
-            rh2, rw2 = render_size
-            e = {"render": jnp.zeros((rh2, rw2, 4)),
-                 "variance": jnp.zeros((rh2, rw2)),
-                 "temporal": rsv.empty_reservoir(render_size),
-                 "prev_spatial_packed": spatial_de if track_de else None,
-                 "valid": valid}
-            e_render, e_var = e["render"], e["variance"]
-        if track_de and num_emissives > 0:
-            spatial_de = e["prev_spatial_packed"]
-            # spatial reuse runs at FULL render res: under checkerboard the
-            # merged reservoir field (new actives + carried inactives) gives
-            # every pixel a temporal reservoir to merge from
-            e_temporal_for_spatial = (rsv.unpack_reservoir(e_temporal_packed)
-                                      if ckb else e["temporal"])
-            sp = restir.spatial_reuse(
-                scene, g, view, frame, e_temporal_for_spatial, spatial_de,
-                reproj, emissive_lit=True, no_texture=no_texture,
-                render_size=render_size,
-                scramble_bits=(rand[..., 3] * 4.0).astype(jnp.int32) & 3
-                if scramble else None)
-            spatial_de = rsv.pack_reservoir(sp["spatial"])
-            e_render = sp["render"]
-            e_var = jnp.where(jnp.isnan(sp["variance"]), e_var, sp["variance"])
-            spatial_de = _zero_packed_where(~valid, spatial_de)
-
-        # --- indirect channel
         spatial_ind = carry["spatial_indirect"]
+        d_temporal_packed = carry["direct_temporal"]
+        e_temporal_packed = carry["emissive_temporal"]
         i_temporal_packed = carry["indirect_temporal"]
-        i = restir.indirect_lit_ambient(
-            scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[2],
-            spatial_ind if track_ind else None,
-            bounces=settings.indirect_bounces,
-            temporal_reuse=settings.temporal_reuse,
-            no_texture=no_texture, track_spatial=track_ind,
-            render_size=light_size)
-        if settings.indirect_bounces > 0:
-            if track_ind:
-                i_render, i_var = to_full(i["render"], i["variance"])
+        d_render = d_var = e_render = e_var = i_render = i_var = None
+        rh2, rw2 = render_size
+        if use_fused:
+            fl = _lf.fused_lighting(
+                scene, g_l, view, frame, rand_l, has_sun=has_sun,
+                num_emissives=num_emissives,
+                bounces=settings.indirect_bounces, render_size=light_size)
+            zero_l = jnp.zeros(light_size)
+            if has_sun:
+                deferred.append(("d", fl["d_render"], zero_l))
             else:
-                i_render = i_var = None
-                deferred.append(("i", i["render"], i["variance"]))
-            if settings.temporal_reuse or (track_ind and ckb):
-                i_temporal_packed = temporal_full_packed(i["temporal"],
-                                                         "indirect_temporal")
+                # deterministic surface-emission term stays full-res
+                # (emissive_surface_channel; see kernel docstring)
+                d = restir.emissive_surface_channel(scene, g, no_texture,
+                                                    render_size)
+                d_render, d_var = d["render"], d["variance"]
+            if num_emissives > 0:
+                deferred.append(("e", fl["e_render"], zero_l))
+            else:
+                e_render = jnp.zeros((rh2, rw2, 4))
+                e_var = jnp.zeros((rh2, rw2))
+            if settings.indirect_bounces > 0:
+                deferred.append(("i", fl["i_render"], zero_l))
+            else:
+                i_render = jnp.zeros((rh2, rw2, 4))
+                i_var = jnp.zeros((rh2, rw2))
         else:
-            rh2, rw2 = render_size
-            i_render = jnp.zeros((rh2, rw2, 4))
-            i_var = jnp.zeros((rh2, rw2))
-        if track_ind:
-            spatial_ind = i["prev_spatial_packed"]
-            i_temporal_for_spatial = (rsv.unpack_reservoir(i_temporal_packed)
-                                      if ckb else i["temporal"])
-            sp = restir.spatial_reuse(
-                scene, g, view, frame, i_temporal_for_spatial, spatial_ind,
-                reproj, emissive_lit=False, no_texture=no_texture,
-                render_size=render_size,
-                scramble_bits=(rand[..., 2] * 4.0).astype(jnp.int32) & 3
-                if scramble else None)
-            spatial_ind = rsv.pack_reservoir(sp["spatial"])
-            i_render = sp["render"]
-            i_var = jnp.where(jnp.isnan(sp["variance"]), i_var, sp["variance"])
-            spatial_ind = _zero_packed_where(~valid, spatial_ind)
+            # --- direct channel (RENDER_EMISSIVE); when the scene has no sun the
+            # solar NEE term is identically zero, so the shadow trace is skipped
+            # statically and only the surface-emission add remains.
+            # Channels whose output is not consumed by spatial reuse defer their
+            # checkerboard reconstruction into one shared to_full_many flush.
+            deferred = []
+            spatial_de = carry["spatial_de"]
+            d_temporal_packed = carry["direct_temporal"]
+            d_render = d_var = None
+            if has_sun:
+                d = restir.direct_lit(
+                    scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[0],
+                    spatial_de if track_de else None,
+                    emissive_lit=False, temporal_reuse=settings.temporal_reuse,
+                    no_texture=no_texture, track_spatial=track_de,
+                    render_size=light_size)
+                if track_de:
+                    spatial_de = d["prev_spatial_packed"]
+                deferred.append(("d", d["render"], d["variance"]))
+                if settings.temporal_reuse:
+                    d_temporal_packed = temporal_full_packed(d["temporal"],
+                                                             "direct_temporal")
+            else:
+                d = restir.emissive_surface_channel(scene, g, no_texture,
+                                                    render_size)
+                d_render, d_var = d["render"], d["variance"]
+
+            # --- emissive channel (EMISSIVE_LIT); statically skipped when the
+            # scene has no emissive instances (nothing to sample)
+            e_temporal_packed = carry["emissive_temporal"]
+            if num_emissives > 0:
+                e = restir.direct_lit(
+                    scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[1],
+                    spatial_de if track_de else None,
+                    emissive_lit=True, temporal_reuse=settings.temporal_reuse,
+                    no_texture=no_texture, track_spatial=track_de,
+                    render_size=light_size)
+                if track_de:
+                    e_render, e_var = to_full(e["render"], e["variance"])
+                else:
+                    e_render = e_var = None
+                    deferred.append(("e", e["render"], e["variance"]))
+                if settings.temporal_reuse or (track_de and ckb):
+                    e_temporal_packed = temporal_full_packed(e["temporal"],
+                                                             "emissive_temporal")
+            else:
+                rh2, rw2 = render_size
+                e = {"render": jnp.zeros((rh2, rw2, 4)),
+                     "variance": jnp.zeros((rh2, rw2)),
+                     "temporal": rsv.empty_reservoir(render_size),
+                     "prev_spatial_packed": spatial_de if track_de else None,
+                     "valid": valid}
+                e_render, e_var = e["render"], e["variance"]
+            if track_de and num_emissives > 0:
+                spatial_de = e["prev_spatial_packed"]
+                # spatial reuse runs at FULL render res: under checkerboard the
+                # merged reservoir field (new actives + carried inactives) gives
+                # every pixel a temporal reservoir to merge from
+                e_temporal_for_spatial = (rsv.unpack_reservoir(e_temporal_packed)
+                                          if ckb else e["temporal"])
+                sp = restir.spatial_reuse(
+                    scene, g, view, frame, e_temporal_for_spatial, spatial_de,
+                    reproj, emissive_lit=True, no_texture=no_texture,
+                    render_size=render_size,
+                    scramble_bits=(rand[..., 3] * 4.0).astype(jnp.int32) & 3
+                    if scramble else None)
+                spatial_de = rsv.pack_reservoir(sp["spatial"])
+                e_render = sp["render"]
+                e_var = jnp.where(jnp.isnan(sp["variance"]), e_var, sp["variance"])
+                spatial_de = _zero_packed_where(~valid, spatial_de)
+
+            # --- indirect channel
+            spatial_ind = carry["spatial_indirect"]
+            i_temporal_packed = carry["indirect_temporal"]
+            i = restir.indirect_lit_ambient(
+                scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[2],
+                spatial_ind if track_ind else None,
+                bounces=settings.indirect_bounces,
+                temporal_reuse=settings.temporal_reuse,
+                no_texture=no_texture, track_spatial=track_ind,
+                render_size=light_size)
+            if settings.indirect_bounces > 0:
+                if track_ind:
+                    i_render, i_var = to_full(i["render"], i["variance"])
+                else:
+                    i_render = i_var = None
+                    deferred.append(("i", i["render"], i["variance"]))
+                if settings.temporal_reuse or (track_ind and ckb):
+                    i_temporal_packed = temporal_full_packed(i["temporal"],
+                                                             "indirect_temporal")
+            else:
+                rh2, rw2 = render_size
+                i_render = jnp.zeros((rh2, rw2, 4))
+                i_var = jnp.zeros((rh2, rw2))
+            if track_ind:
+                spatial_ind = i["prev_spatial_packed"]
+                i_temporal_for_spatial = (rsv.unpack_reservoir(i_temporal_packed)
+                                          if ckb else i["temporal"])
+                sp = restir.spatial_reuse(
+                    scene, g, view, frame, i_temporal_for_spatial, spatial_ind,
+                    reproj, emissive_lit=False, no_texture=no_texture,
+                    render_size=render_size,
+                    scramble_bits=(rand[..., 2] * 4.0).astype(jnp.int32) & 3
+                    if scramble else None)
+                spatial_ind = rsv.pack_reservoir(sp["spatial"])
+                i_render = sp["render"]
+                i_var = jnp.where(jnp.isnan(sp["variance"]), i_var, sp["variance"])
+                spatial_ind = _zero_packed_where(~valid, spatial_ind)
 
         # flush the shared checkerboard reconstruction for every deferred
         # channel (ONE pass of neighbor gates for all of them)
