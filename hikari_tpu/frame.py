@@ -102,9 +102,22 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         prev_view = {"view_proj": carry["prev_view_proj"],
                      "inverse_view_proj": carry["prev_inverse_view_proj"]}
 
-        gbuf = prepass(scene, tracer, view, prev_view, frame["number"],
-                       full_size, taa, upscale.mode)
-        albedo = restir.full_screen_albedo(scene, gbuf, view, no_texture)
+        from hikari_tpu.ops import prepass_fused as _pf
+
+        if _pf.prepass_fused_eligible(scene, no_texture=no_texture,
+                                      tracer_kind=getattr(tracer, "kind",
+                                                          "")):
+            # fused Pallas prepass: rays + trace + G-buffer assembly +
+            # albedo in one kernel (ops/prepass_fused.py)
+            from hikari_tpu.ops.prepass import frame_jitter
+
+            jit = frame_jitter(frame["number"], taa, upscale.mode)
+            gbuf, albedo = _pf.prepass_fused(scene, view, prev_view, jit,
+                                             full_size)
+        else:
+            gbuf = prepass(scene, tracer, view, prev_view, frame["number"],
+                           full_size, taa, upscale.mode)
+            albedo = restir.full_screen_albedo(scene, gbuf, view, no_texture)
 
         g = restir.resample_gbuffer(gbuf, render_size, frame["number"], ratio)
         valid = g["position"][..., 3] >= 1.1920929e-7

@@ -50,8 +50,15 @@ INV_TAU = 0.159154943
 PI = 3.14159265358979
 
 _LANES = 128
-_BLOCK_ROWS = 128
-_TILE = _LANES * _BLOCK_ROWS
+
+
+def _block_h(w: int) -> int:
+    """Rows of the image per grid step. Blocks span the FULL image width so
+    kernel inputs/outputs keep the [H,W]{1,0:T(8,128)} layout every XLA
+    consumer uses — flat [N/128,128] blocks forced a real relayout copy per
+    plane (~0.26 ms each at 1080p, round-3 profile). Target ~16k lanes per
+    step (the measured compute/overhead sweet spot of trace_pallas)."""
+    return max(8, min(128, ((16384 // max(w, 1)) // 8) * 8))
 
 # eligibility caps (per-lane select-sweep cost scales with each of these)
 MAX_TRIS = 768
@@ -837,15 +844,6 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def _plane(x, rows):
-    n = x.shape[0] * x.shape[1] if x.ndim == 2 else x.shape[0]
-    flat = x.reshape(-1)
-    pad = rows * _LANES - n
-    if pad:
-        flat = jnp.pad(flat, (0, pad))
-    return flat.reshape(rows, _LANES)
-
-
 @partial(jax.jit, static_argnames=(
     "has_sun", "num_emissives", "bounces", "render_size", "interpret"))
 def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
@@ -856,8 +854,12 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
     d_render/e_render/i_render [h,w,4] (variance is identically zero on this
     path — the caller supplies zeros; see restir.direct_lit fast path)."""
     h, w = render_size
-    n = h * w
-    rows = -(-n // _TILE) * _BLOCK_ROWS
+    bh = _block_h(w)
+    hp = -(-h // bh) * bh
+
+    def _plane(x, _rows=None):
+        return jnp.pad(x, ((0, hp - h), (0, 0))) if hp > h else x
+
     emissive_on = num_emissives > 0
 
     tris = _pack8(scene["tri_pos_flat"])
@@ -887,19 +889,19 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         g["instance_material"][..., 1].astype(jnp.int32), 0) \
         .astype(jnp.float32)
     planes = [
-        _plane(g["position"][..., 0], rows),
-        _plane(g["position"][..., 1], rows),
-        _plane(g["position"][..., 2], rows),
-        _plane(depth, rows),
-        _plane(g["normal"][..., 0], rows),
-        _plane(g["normal"][..., 1], rows),
-        _plane(g["normal"][..., 2], rows),
-        _plane(inst_f, rows),
-        _plane(mat_f, rows),
-        _plane(rand[..., 0], rows),
-        _plane(rand[..., 1], rows),
-        _plane(rand[..., 2], rows),
-        _plane(rand[..., 3], rows),
+        _plane(g["position"][..., 0]),
+        _plane(g["position"][..., 1]),
+        _plane(g["position"][..., 2]),
+        _plane(depth),
+        _plane(g["normal"][..., 0]),
+        _plane(g["normal"][..., 1]),
+        _plane(g["normal"][..., 2]),
+        _plane(inst_f),
+        _plane(mat_f),
+        _plane(rand[..., 0]),
+        _plane(rand[..., 1]),
+        _plane(rand[..., 2]),
+        _plane(rand[..., 3]),
     ]
 
     n_out = ((3 if has_sun else 0) + (3 if emissive_on else 0)
@@ -913,25 +915,25 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    ray_spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(rows // _BLOCK_ROWS,),
+        grid=(hp // bh,),
         in_specs=[tab_spec(2), tab_spec(tris.shape[0]),
                   tab_spec(attrs.shape[0]), tab_spec(em_tris.shape[0]),
                   tab_spec(em_attrs.shape[0]), tab_spec(mats.shape[0])]
         + [ray_spec] * 13,
         out_specs=[ray_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.float32)] * n_out,
     )(params, tris, attrs, em_tris, em_attrs, mats, *planes)
 
     valid = depth >= F32_EPSILON
     alpha = valid.astype(jnp.float32)
 
     def to_render(i0):
-        rgb = [outs[i0 + c].reshape(-1)[:n].reshape(h, w) for c in range(3)]
+        rgb = [outs[i0 + c][:h] for c in range(3)]
         return jnp.stack(rgb + [alpha], axis=-1)
 
     out = {}
