@@ -4,11 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target (BASELINE.md): < 16 ms/frame at 1080p => vs_baseline =
 16.0 / measured_ms (>1 is better than target).
 
-The headline `value` is the checkerboard-lighting config (the TPU-native
-analog of the reference's own quarter-res-lighting default); the JSON also
-carries `frame_ms_full` — the same config with checkerboard OFF (every
-lighting ray traced every frame) — so the apples-to-apples pair is always
-visible (VERDICT r2 weak #4).
+The headline `value` is the FULL-RES lighting config (every lighting ray
+traced every frame — apples-to-apples with BASELINE config 2). Since the
+fused lighting kernel landed (round 3), full-res is also FASTER than
+checkerboard: the compress/expand + reconstruction overhead now exceeds the
+halved ray cost. The JSON still carries the checkerboard number
+(`frame_ms_ckb`) so the pair stays visible (VERDICT r2 weak #4).
 """
 
 from __future__ import annotations
@@ -82,9 +83,9 @@ def main():
     cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
 
     # checkerboard lighting (half the lighting rays/frame, depth/normal-aware
-    # reconstruction; ops/checkerboard.py) — the TPU-native analog of the
-    # reference's quarter-res lighting default. Measure BOTH so the pair is
-    # honest; BENCH_CKB=0 demotes the headline to the full config only.
+    # reconstruction; ops/checkerboard.py) — a TPU-native option kept for the
+    # bench matrix. Headline = full-res (BASELINE-comparable AND faster since
+    # the fused kernel); BENCH_CKB=1 also measures the checkerboard config.
     run_ckb = _o.environ.get("BENCH_CKB", "1") == "1"
     reps_full = _measure(Renderer(
         scene, cam, dataclasses.replace(base, checkerboard_lighting=False)),
@@ -92,7 +93,7 @@ def main():
     reps_ckb = _measure(Renderer(
         scene, cam, dataclasses.replace(base, checkerboard_lighting=True)),
         frames) if run_ckb else reps_full
-    dt = min(reps_ckb) if run_ckb else min(reps_full)
+    dt = min(reps_full)
     frame_ms = dt * 1e3
 
     # rays per frame: 1 primary per full-res pixel + per-render-res-pixel:
@@ -102,25 +103,24 @@ def main():
 
     rh, rw = scaled_size((height, width), base.upscale_ratio)
     n_render = rh * rw
-    if run_ckb:
-        n_render //= 2  # half the lighting rays per frame
     rays = height * width + n_render * (1 + 2 + 3 * base.indirect_bounces)
     mrays = rays / dt / 1e6
 
-    print(json.dumps({
+    out = {
         "metric": "frame_ms_1080p",
         "value": round(frame_ms, 3),
         "unit": "ms",
         "vs_baseline": round(16.0 / frame_ms, 4),
         "scene": name,
-        "checkerboard": run_ckb,
-        "frame_ms_full": round(min(reps_full) * 1e3, 3),
+        "checkerboard": False,
         "mrays_per_s": round(mrays, 1),
-        "reps_ms": [round(x * 1e3, 2) for x in (reps_ckb if run_ckb
-                                                else reps_full)],
-        "reps_ms_full": [round(x * 1e3, 2) for x in reps_full],
+        "reps_ms": [round(x * 1e3, 2) for x in reps_full],
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if run_ckb:
+        out["frame_ms_ckb"] = round(min(reps_ckb) * 1e3, 3)
+        out["reps_ms_ckb"] = [round(x * 1e3, 2) for x in reps_ckb]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -89,7 +89,8 @@ def denoise_channel(g, albedo, render, variance, frame, render_size,
                             render_size, ratio)[0]
 
 
-def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
+def denoise_channels(g, albedo, chans, frame, render_size, ratio: float,
+                     fused: bool | None = None):
     """Denoise several lighting channels in ONE fused pass.
 
     chans: list of (render [h,w,4], variance [h,w], firefly bool). The
@@ -98,7 +99,14 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
     flight they are computed once per tap instead of C times, and every tap
     shift covers all channels — ~40% fewer 1080p passes for the 3-channel
     reference pipeline (the analog of denoise.wgsl's 3 sequential
-    dispatches, post_process.rs:1180-1240)."""
+    dispatches, post_process.rs:1180-1240).
+
+    fused: run the a-trous cascade as one Pallas kernel per level
+    (ops/denoise_fused.py; 12.5 -> ~3 ms at 1080p) instead of the XLA
+    shift-stencil formulation. Default: on (interpret-mode emulation on
+    CPU); the XLA path remains the test oracle."""
+    import jax as _jax
+
     albedo_r = resample_deferred(albedo, render_size, frame["number"], ratio)
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
@@ -112,6 +120,22 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
         irrs.append(irr_c)
         variances.append(var_c)
     nch = len(chans)
+
+    if fused is None:
+        fused = True
+    if fused:
+        from hikari_tpu.ops.denoise_fused import denoise_levels_fused
+
+        on_tpu = any(d.platform != "cpu" for d in _jax.devices())
+        outs_irr = denoise_levels_fused(
+            irrs, variances, normal, gradient, depth, instance,
+            [ff for _, _, ff in chans], _STEPS, render_size,
+            interpret=not on_tpu)
+        return [jnp.where(valid[..., None],
+                          jnp.concatenate(
+                              [oi, jnp.ones(render_size + (1,))], -1)
+                          * albedo_r, 0.0)
+                for oi in outs_irr]
     # channel-stacked irradiance [h, w, 3C]: the tap shifts cover every
     # channel in one pass; per-channel scalar planes stay [h, w] (slices
     # along the outermost channel dim are layout-free bitcasts — avoid any
@@ -167,6 +191,9 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float):
                         okc,
                         jnp.clip(w, 0.0,
                                  float(ATROUS_KERNEL[oy + 1, ox + 1])), 0.0)
+                    # zero the excluded tap VALUE too: NaN * 0 == NaN, so a
+                    # non-finite neighbor would otherwise spread each level
+                    sc = jnp.where(okc[..., None], sc, 0.0)
                     sum_irr[c] = sum_irr[c] + sc * w[..., None]
                     sum_w[c] = sum_w[c] + w
                     if ffs[c]:
