@@ -104,6 +104,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         from hikari_tpu.ops import prepass_fused as _pf
 
+        g = albedo_r = None
         if _pf.prepass_fused_eligible(scene, no_texture=no_texture,
                                       tracer_kind=getattr(tracer, "kind",
                                                           "")):
@@ -112,14 +113,28 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             from hikari_tpu.ops.prepass import frame_jitter
 
             jit = frame_jitter(frame["number"], taa, upscale.mode)
-            gbuf, albedo = _pf.prepass_fused(scene, view, prev_view, jit,
-                                             full_size)
+            exact_half = (ratio == 2.0
+                          and full_size[0] == 2 * render_size[0]
+                          and full_size[1] == 2 * render_size[1])
+            if exact_half:
+                # ratio-2 render-res G-buffer emitted directly by a second
+                # decimated-coordinate pass (the XLA stride-2 decimation of
+                # 19 full-res planes measured ~24 ms of relayouts at 1080p)
+                gbuf, albedo, g, albedo_r = _pf.prepass_fused(
+                    scene, view, prev_view, jit, full_size,
+                    dec_size=render_size,
+                    dec_parity=frame["number"] & 1)
+            else:
+                gbuf, albedo = _pf.prepass_fused(scene, view, prev_view,
+                                                 jit, full_size)
         else:
             gbuf = prepass(scene, tracer, view, prev_view, frame["number"],
                            full_size, taa, upscale.mode)
             albedo = restir.full_screen_albedo(scene, gbuf, view, no_texture)
 
-        g = restir.resample_gbuffer(gbuf, render_size, frame["number"], ratio)
+        if g is None:
+            g = restir.resample_gbuffer(gbuf, render_size, frame["number"],
+                                        ratio)
         valid = g["position"][..., 3] >= 1.1920929e-7
         rand = sample_blue_noise(noise, frame["number"], render_size)
         reproj = restir.reprojection(g, frame, render_size)
@@ -383,7 +398,8 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 dn_slots.append("i")
             if dn_in:
                 dn_out = denoise_channels(g, albedo, dn_in, frame,
-                                          render_size, ratio)
+                                          render_size, ratio,
+                                          albedo_r=albedo_r)
                 for slot, out in zip(dn_slots, dn_out):
                     if slot == "d":
                         d_render = out

@@ -90,7 +90,7 @@ def denoise_channel(g, albedo, render, variance, frame, render_size,
 
 
 def denoise_channels(g, albedo, chans, frame, render_size, ratio: float,
-                     fused: bool | None = None):
+                     fused: bool | None = None, albedo_r=None):
     """Denoise several lighting channels in ONE fused pass.
 
     chans: list of (render [h,w,4], variance [h,w], firefly bool). The
@@ -107,7 +107,9 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float,
     CPU); the XLA path remains the test oracle."""
     import jax as _jax
 
-    albedo_r = resample_deferred(albedo, render_size, frame["number"], ratio)
+    if albedo_r is None:
+        albedo_r = resample_deferred(albedo, render_size, frame["number"],
+                                     ratio)
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
     normal = normalize(g["normal"])

@@ -54,6 +54,7 @@ _P_PREV_VP = 32   # previous view_proj 16
 _P_CAM = 48       # camera world position 3
 _P_JIT = 51       # jitter pixels x, y
 _P_WH = 53        # width, height (f32)
+_P_OFF = 55       # decimation parity offset (0/1, f32)
 
 
 def prepass_fused_eligible(scene, *, no_texture: bool,
@@ -72,7 +73,7 @@ def prepass_fused_eligible(scene, *, no_texture: bool,
 
 
 def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
-                  block_h: int):
+                  block_h: int, scale: int = 1):
     def kernel(params, tris, attrs, motion, mats,
                px_o, py_o, pz_o, dep_o, nx_o, ny_o, nz_o, inst_o, mat_o,
                velu_o, velv_o, uvx_o, uvy_o, alb_r_o, alb_g_o, alb_b_o):
@@ -85,8 +86,18 @@ def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
             jnp.int32, (block_h, width), 0).astype(jnp.float32)
         j = lax.broadcasted_iota(
             jnp.int32, (block_h, width), 1).astype(jnp.float32)
-        y = pid.astype(jnp.float32) * block_h + i
-        x = j
+        if scale == 1:
+            y = pid.astype(jnp.float32) * block_h + i
+            x = j
+        else:
+            # decimated (jittered-deferred) pass: generate rays at the
+            # parity-selected quad pixels (2y+s, 2x+s) directly — this is
+            # bit-identical to decimating the full-res planes
+            # (restir.resample_deferred ratio-2 path) without any lane
+            # shuffles, which cost ~1.5 ms/plane as XLA relayouts
+            s = params[0, _P_OFF]
+            y = float(scale) * (pid.astype(jnp.float32) * block_h + i) + s
+            x = float(scale) * j + s
 
         # --- camera ray (ops/prepass.py camera_rays)
         w_img = params[0, _P_WH]
@@ -258,17 +269,81 @@ def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("size", "interpret"))
-def prepass_fused(scene, view, prev_view, jitter, size,
-                  interpret: bool = False):
-    """Returns (gbuf dict matching ops/prepass.py's contract, albedo
-    [H,W,4]). jitter: [2] pixel jitter (frame_jitter)."""
-    from hikari_tpu.ops.light_fused import _pack8
-
+def _call_planes(kernel_args, size, *, scale, interpret):
+    """One pallas_call producing the 16 G-buffer/albedo planes at `size`.
+    scale=1: plane[y,x] is pixel (y,x); scale=2: pixel (2y+s, 2x+s) with s
+    the parity offset in params[_P_OFF]."""
+    params, tris, attrs, motion, mats = kernel_args
     h, w = size
     bh = _block_h(w)
     hp = -(-h // bh) * bh
+    n_inst = motion.shape[0]
+    n_mats = mats.shape[0]
+    kernel = _build_kernel(n_tri_rows=tris.shape[0], n_inst=n_inst,
+                           n_mats=n_mats, width=w, block_h=bh, scale=scale)
 
+    def tab_spec(r):
+        return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    ray_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    n_out = 16
+    outs = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(hp // bh,),
+        in_specs=[tab_spec(1), tab_spec(tris.shape[0]),
+                  tab_spec(attrs.shape[0]), tab_spec(n_inst),
+                  tab_spec(n_mats)],
+        out_specs=[ray_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.float32)]
+        * n_out,
+    )(params, tris, attrs, motion, mats)
+    return [o[:h] for o in outs]
+
+
+def _assemble(planes, *, grad_scale=1.0):
+    """Planes -> (gbuf dict, albedo [h,w,4]). grad_scale: forward
+    differences step in full-res pixels (2 for the decimated planes)."""
+    (px, py, pz, depth, nx, ny, nz, inst, mat, velu, velv, uvx, uvy,
+     alb_r, alb_g, alb_b) = planes
+    position = jnp.stack([px, py, pz, depth], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    instance_material = jnp.stack([inst, mat], axis=-1)
+    velocity_uv = jnp.stack([velu, velv, uvx, uvy], axis=-1)
+    inv = 1.0 / grad_scale
+    ddx = jnp.concatenate([depth[:, 1:] - depth[:, :-1],
+                           (depth[:, -1:] - depth[:, -2:-1])], axis=1) * inv
+    ddy = jnp.concatenate([depth[1:, :] - depth[:-1, :],
+                           (depth[-1:, :] - depth[-2:-1, :])], axis=0) * inv
+    gbuf = {
+        "position": position,
+        "normal": normal,
+        "depth_gradient": jnp.stack([ddx, ddy], axis=-1),
+        "instance_material": instance_material,
+        "velocity_uv": velocity_uv,
+    }
+    valid = depth >= F32_EPSILON
+    albedo = jnp.stack([alb_r, alb_g, alb_b, valid.astype(jnp.float32)],
+                       axis=-1)
+    return gbuf, albedo
+
+
+@partial(jax.jit, static_argnames=("size", "dec_size", "interpret"))
+def prepass_fused(scene, view, prev_view, jitter, size, dec_size=None,
+                  dec_parity=None, interpret: bool = False):
+    """Returns (gbuf dict matching ops/prepass.py's contract, albedo
+    [H,W,4]). jitter: [2] pixel jitter (frame_jitter).
+
+    With dec_size=(h/2, w/2) and dec_parity (frame&1), additionally
+    returns (g_dec, albedo_dec) at dec_size: the ratio-2 jittered-deferred
+    decimation of the G-buffer computed directly at the decimated pixel
+    coords (bit-identical to restir.resample_deferred for every plane
+    except depth_gradient, which uses a step-2 forward difference)."""
+    from hikari_tpu.ops.light_fused import _pack8
+
+    h, w = size
     tris = _pack8(scene["tri_pos_flat"])
     attrs = _pack8(jnp.concatenate(
         [scene["tri_attr"][:, 0:15], scene["tri_attr"][:, 16:17]], axis=1))
@@ -291,53 +366,16 @@ def prepass_fused(scene, view, prev_view, jitter, size,
     row0 = lax.dynamic_update_slice(
         row0, jnp.asarray(jitter, jnp.float32), (_P_JIT,))
     row0 = row0.at[_P_WH].set(float(w)).at[_P_WH + 1].set(float(h))
+    if dec_parity is not None:
+        row0 = row0.at[_P_OFF].set(dec_parity.astype(jnp.float32))
     params = row0[None, :]
 
-    kernel = _build_kernel(n_tri_rows=tris.shape[0], n_inst=n_inst,
-                           n_mats=n_mats, width=w, block_h=bh)
-
-    def tab_spec(r):
-        return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-
-    ray_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    n_out = 16
-    outs = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid=(hp // bh,),
-        in_specs=[tab_spec(1), tab_spec(tris.shape[0]),
-                  tab_spec(attrs.shape[0]), tab_spec(n_inst),
-                  tab_spec(n_mats)],
-        out_specs=[ray_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.float32)]
-        * n_out,
-    )(params, tris, attrs, motion, mats)
-
-    def plane(k):
-        return outs[k][:h]
-
-    depth = plane(3)
-    position = jnp.stack([plane(0), plane(1), plane(2), depth], axis=-1)
-    normal = jnp.stack([plane(4), plane(5), plane(6)], axis=-1)
-    instance_material = jnp.stack([plane(7), plane(8)], axis=-1)
-    velocity_uv = jnp.stack([plane(9), plane(10), plane(11), plane(12)],
-                            axis=-1)
-    # depth gradients: forward differences in XLA (2 cheap shift passes)
-    ddx = jnp.concatenate([depth[:, 1:] - depth[:, :-1],
-                           (depth[:, -1:] - depth[:, -2:-1])], axis=1)
-    ddy = jnp.concatenate([depth[1:, :] - depth[:-1, :],
-                           (depth[-1:, :] - depth[-2:-1, :])], axis=0)
-    gbuf = {
-        "position": position,
-        "normal": normal,
-        "depth_gradient": jnp.stack([ddx, ddy], axis=-1),
-        "instance_material": instance_material,
-        "velocity_uv": velocity_uv,
-    }
-    valid = depth >= F32_EPSILON
-    albedo = jnp.stack(
-        [plane(13), plane(14), plane(15), valid.astype(jnp.float32)],
-        axis=-1)
-    return gbuf, albedo
+    kernel_args = (params, tris, attrs, motion, mats)
+    planes = _call_planes(kernel_args, size, scale=1, interpret=interpret)
+    gbuf, albedo = _assemble(planes)
+    if dec_size is None:
+        return gbuf, albedo
+    dec_planes = _call_planes(kernel_args, dec_size, scale=2,
+                              interpret=interpret)
+    g_dec, albedo_dec = _assemble(dec_planes, grad_scale=2.0)
+    return gbuf, albedo, g_dec, albedo_dec

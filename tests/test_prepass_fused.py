@@ -54,6 +54,44 @@ def test_prepass_fused_matches_modular(frame_number):
     assert (da > 1e-3).mean() < 0.01, da.max()
 
 
+@pytest.mark.parametrize("frame_number", [0, 1])
+def test_prepass_fused_decimated_matches_resample(frame_number):
+    """The dec_size pass must reproduce restir.resample_gbuffer's ratio-2
+    parity decimation bit-exactly (identical ray math at the decimated
+    pixel coords); depth_gradient uses its own step-2 estimator."""
+    gpu = emissive_scene().compile()
+    scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
+    cam = Camera.from_look_at((3.0, 2.5, 3.0), (0, 0.5, 0),
+                              width=SIZE[1], height=SIZE[0])
+    view = {k: jnp.asarray(v) for k, v in cam.view_uniform().items()}
+    cam2 = Camera.from_look_at((3.1, 2.6, 2.9), (0, 0.5, 0),
+                               width=SIZE[1], height=SIZE[0])
+    prev_view = {k: jnp.asarray(v) for k, v in cam2.view_uniform().items()}
+
+    fn = jnp.uint32(frame_number)
+    jit = frame_jitter(fn, Taa.JASMINE, UpscaleMode.SMAA_TU4X)
+    dec_size = (SIZE[0] // 2, SIZE[1] // 2)
+    gbuf, albedo, g_dec, albedo_dec = prepass_fused(
+        scene, view, prev_view, jit, SIZE, dec_size=dec_size,
+        dec_parity=fn & 1, interpret=True)
+
+    ref = restir.resample_gbuffer(gbuf, dec_size, fn, 2.0)
+    for k in ref:
+        if k == "depth_gradient":
+            continue
+        np.testing.assert_array_equal(np.asarray(g_dec[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+    ref_alb = restir.resample_deferred(albedo, dec_size, fn, 2.0)
+    np.testing.assert_array_equal(np.asarray(albedo_dec),
+                                  np.asarray(ref_alb))
+    # gradient: step-2 forward difference of the decimated depth
+    d = np.asarray(g_dec["position"][..., 3])
+    ddx = np.concatenate([d[:, 1:] - d[:, :-1], d[:, -1:] - d[:, -2:-1]],
+                         axis=1) * 0.5
+    np.testing.assert_allclose(np.asarray(g_dec["depth_gradient"][..., 0]),
+                               ddx, rtol=1e-6, atol=1e-7)
+
+
 def test_prepass_fused_not_eligible_with_textures():
     gpu = emissive_scene().compile()
     scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
