@@ -104,7 +104,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
         from hikari_tpu.ops import prepass_fused as _pf
 
-        g = albedo_r = None
+        g = albedo_r = smaa_quads = None
         if _pf.prepass_fused_eligible(scene, no_texture=no_texture,
                                       tracer_kind=getattr(tracer, "kind",
                                                           "")):
@@ -124,6 +124,9 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                     scene, view, prev_view, jit, full_size,
                     dec_size=render_size,
                     dec_parity=frame["number"] & 1)
+                if upscale.mode == UpscaleMode.SMAA_TU4X:
+                    smaa_quads = _pf.prepass_fused_quads(
+                        scene, view, prev_view, jit, full_size, render_size)
             else:
                 gbuf, albedo = _pf.prepass_fused(scene, view, prev_view,
                                                  jit, full_size)
@@ -414,7 +417,8 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         from hikari_tpu.ops import post
 
         image, post_carry = post.post_chain(
-            gbuf, carry, tone, frame, settings, full_size, render_size)
+            gbuf, carry, tone, frame, settings, full_size, render_size,
+            smaa_quads=smaa_quads)
 
         new_carry = {
             "frame_number": frame["number"] + 1,

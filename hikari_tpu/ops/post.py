@@ -29,8 +29,12 @@ def post_sizes(settings: HikariSettings, full_size, render_size):
 
 
 def post_chain(gbuf, carry, tone, frame, settings: HikariSettings,
-               full_size, render_size):
-    """Returns (final [H,W,4] at full_size, post_carry dict)."""
+               full_size, render_size, smaa_quads=None):
+    """Returns (final [H,W,4] at full_size, post_carry dict).
+
+    smaa_quads: optional precomputed SMAA parity-quad planes
+    (ops/prepass_fused.prepass_fused_quads) replacing the XLA quad
+    decimation of the full-res G-buffer."""
     import os
 
     prev_gbuf = carry["prev_gbuffer"]
@@ -77,7 +81,7 @@ def post_chain(gbuf, carry, tone, frame, settings: HikariSettings,
     smaa_out = None
     if settings.upscale.mode == UpscaleMode.SMAA_TU4X:
         smaa_out = smaa_tu4x(gbuf, prev_gbuf, carry["prev_tone"], tone,
-                             frame, render_size)
+                             frame, render_size, quads=smaa_quads)
         cur = smaa_out
         cur_size = (2 * render_size[0], 2 * render_size[1])
 

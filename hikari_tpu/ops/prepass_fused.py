@@ -54,7 +54,8 @@ _P_PREV_VP = 32   # previous view_proj 16
 _P_CAM = 48       # camera world position 3
 _P_JIT = 51       # jitter pixels x, y
 _P_WH = 53        # width, height (f32)
-_P_OFF = 55       # decimation parity offset (0/1, f32)
+_P_OFF = 55       # decimation y-parity offset (0/1, f32)
+_P_OFFX = 56      # decimation x-parity offset (0/1, f32)
 
 
 def prepass_fused_eligible(scene, *, no_texture: bool,
@@ -95,9 +96,9 @@ def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
             # bit-identical to decimating the full-res planes
             # (restir.resample_deferred ratio-2 path) without any lane
             # shuffles, which cost ~1.5 ms/plane as XLA relayouts
-            s = params[0, _P_OFF]
-            y = float(scale) * (pid.astype(jnp.float32) * block_h + i) + s
-            x = float(scale) * j + s
+            y = (float(scale) * (pid.astype(jnp.float32) * block_h + i)
+                 + params[0, _P_OFF])
+            x = float(scale) * j + params[0, _P_OFFX]
 
         # --- camera ray (ops/prepass.py camera_rays)
         w_img = params[0, _P_WH]
@@ -269,6 +270,130 @@ def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
     return kernel
 
 
+def _build_kernel_slim(*, n_tri_rows: int, n_inst: int, width: int,
+                       block_h: int):
+    """Slim variant for the SMAA parity quads: depth / velocity / instance
+    only, at the stride-2 decimated coords (2y+a, 2x+b). The hit loop
+    carries only (t, instance) — no attribute interpolation."""
+    def kernel(params, tris, motion, dep_o, velu_o, velv_o, inst_o):
+        pid = pl.program_id(0)
+        i = lax.broadcasted_iota(
+            jnp.int32, (block_h, width), 0).astype(jnp.float32)
+        j = lax.broadcasted_iota(
+            jnp.int32, (block_h, width), 1).astype(jnp.float32)
+        y = 2.0 * (pid.astype(jnp.float32) * block_h + i) + params[0, _P_OFF]
+        x = 2.0 * j + params[0, _P_OFFX]
+
+        w_img = params[0, _P_WH]
+        h_img = params[0, _P_WH + 1]
+        u = (x + 0.5 + params[0, _P_JIT]) / w_img
+        v = (y + 0.5 + params[0, _P_JIT + 1]) / h_img
+        ndc_x = u * 2.0 - 1.0
+        ndc_y = (1.0 - v) * 2.0 - 1.0
+
+        def unproject(z):
+            m = lambda r, c: params[0, _P_INV_VP + 4 * r + c]
+            hx = m(0, 0) * ndc_x + m(0, 1) * ndc_y + m(0, 2) * z + m(0, 3)
+            hy = m(1, 0) * ndc_x + m(1, 1) * ndc_y + m(1, 2) * z + m(1, 3)
+            hz = m(2, 0) * ndc_x + m(2, 1) * ndc_y + m(2, 2) * z + m(2, 3)
+            hw = m(3, 0) * ndc_x + m(3, 1) * ndc_y + m(3, 2) * z + m(3, 3)
+            inv = 1.0 / hw
+            return hx * inv, hy * inv, hz * inv
+
+        ax, ay, az = unproject(0.9)
+        bx, by, bz = unproject(0.1)
+        dx, dy, dz = bx - ax, by - ay, bz - az
+        inv_len = lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+        dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+        ox = jnp.full_like(dx, params[0, _P_CAM])
+        oy = jnp.full_like(dx, params[0, _P_CAM + 1])
+        oz = jnp.full_like(dx, params[0, _P_CAM + 2])
+
+        def body(r, carry):
+            row = tris[pl.ds(r, 1), :]
+            for k in range(8):
+                t_best, instb = carry
+                o = k * 16
+                v0x, v0y, v0z = row[0, o], row[0, o + 1], row[0, o + 2]
+                v1x, v1y, v1z = row[0, o + 3], row[0, o + 4], row[0, o + 5]
+                v2x, v2y, v2z = row[0, o + 6], row[0, o + 7], row[0, o + 8]
+                inst = row[0, o + 9]
+                abx, aby, abz = v1x - v0x, v1y - v0y, v1z - v0z
+                acx, acy, acz = v2x - v0x, v2y - v0y, v2z - v0z
+                ux = dy * acz - dz * acy
+                uy = dz * acx - dx * acz
+                uz = dx * acy - dy * acx
+                det = abx * ux + aby * uy + abz * uz
+                inv_det = jnp.where(jnp.abs(det) < F32_EPSILON, 0.0,
+                                    1.0 / det)
+                aox, aoy, aoz = ox - v0x, oy - v0y, oz - v0z
+                uu = (aox * ux + aoy * uy + aoz * uz) * inv_det
+                vx = aoy * abz - aoz * aby
+                vy = aoz * abx - aox * abz
+                vz = aox * aby - aoy * abx
+                vv = (dx * vx + dy * vy + dz * vz) * inv_det
+                dist = (acx * vx + acy * vy + acz * vz) * inv_det
+                ok = ((jnp.abs(det) >= F32_EPSILON)
+                      & (uu >= 0.0) & (uu <= 1.0)
+                      & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (dist > F32_EPSILON)
+                      & (dist < t_best)
+                      & (inst >= 0.0))
+                carry = (jnp.where(ok, dist, t_best),
+                         jnp.where(ok, inst, instb))
+            return carry
+
+        init = (jnp.full_like(dx, F32_MAX), jnp.full_like(dx, -1.0))
+        t, inst_f = lax.fori_loop(0, n_tri_rows, body, init)
+        mask = inst_f >= 0.0
+        tt = jnp.where(mask, t, DISTANCE_MAX)
+        wx = ox + dx * tt
+        wy = oy + dy * tt
+        wz = oz + dz * tt
+
+        def project(m0, px, py, pz):
+            m = lambda r, c: params[0, m0 + 4 * r + c]
+            cx = m(0, 0) * px + m(0, 1) * py + m(0, 2) * pz + m(0, 3)
+            cy = m(1, 0) * px + m(1, 1) * py + m(1, 2) * pz + m(1, 3)
+            cz = m(2, 0) * px + m(2, 1) * py + m(2, 2) * pz + m(2, 3)
+            cw = m(3, 0) * px + m(3, 1) * py + m(3, 2) * pz + m(3, 3)
+            return cx, cy, cz, cw
+
+        cx_, cy_, cz_, cw_ = project(_P_VP, wx, wy, wz)
+        dep_o[:] = jnp.where(mask, cz_ / cw_, 0.0)
+
+        inst_safe = jnp.maximum(inst_f, 0.0)
+        mrows = [jnp.full_like(dx, motion[0, c]) for c in range(16)]
+        for m_i in range(1, n_inst):
+            sel = inst_safe == float(m_i)
+            for c in range(16):
+                mrows[c] = jnp.where(sel, motion[m_i, c], mrows[c])
+        pw = (mrows[12] * wx + mrows[13] * wy + mrows[14] * wz + mrows[15])
+        inv_pw = 1.0 / pw
+        pwx = (mrows[0] * wx + mrows[1] * wy + mrows[2] * wz
+               + mrows[3]) * inv_pw
+        pwy = (mrows[4] * wx + mrows[5] * wy + mrows[6] * wz
+               + mrows[7]) * inv_pw
+        pwz = (mrows[8] * wx + mrows[9] * wy + mrows[10] * wz
+               + mrows[11]) * inv_pw
+
+        def clip_uv(cx, cy, cw):
+            iu = cx / cw
+            iv = cy / cw
+            uo = (iu + 1.0) * 0.5
+            vo = 1.0 - (iv + 1.0) * 0.5
+            return uo, vo
+
+        un, vn = clip_uv(cx_, cy_, cw_)
+        pcx, pcy, _pcz, pcw = project(_P_PREV_VP, pwx, pwy, pwz)
+        up, vp = clip_uv(pcx, pcy, pcw)
+        velu_o[:] = jnp.where(mask, un - up, 0.0)
+        velv_o[:] = jnp.where(mask, vn - vp, 0.0)
+        inst_o[:] = inst_f + 0.5
+
+    return kernel
+
+
 def _call_planes(kernel_args, size, *, scale, interpret):
     """One pallas_call producing the 16 G-buffer/albedo planes at `size`.
     scale=1: plane[y,x] is pixel (y,x); scale=2: pixel (2y+s, 2x+s) with s
@@ -367,7 +492,8 @@ def prepass_fused(scene, view, prev_view, jitter, size, dec_size=None,
         row0, jnp.asarray(jitter, jnp.float32), (_P_JIT,))
     row0 = row0.at[_P_WH].set(float(w)).at[_P_WH + 1].set(float(h))
     if dec_parity is not None:
-        row0 = row0.at[_P_OFF].set(dec_parity.astype(jnp.float32))
+        s = dec_parity.astype(jnp.float32)
+        row0 = row0.at[_P_OFF].set(s).at[_P_OFFX].set(s)
     params = row0[None, :]
 
     kernel_args = (params, tris, attrs, motion, mats)
@@ -379,3 +505,69 @@ def prepass_fused(scene, view, prev_view, jitter, size, dec_size=None,
                               interpret=interpret)
     g_dec, albedo_dec = _assemble(dec_planes, grad_scale=2.0)
     return gbuf, albedo, g_dec, albedo_dec
+
+
+@partial(jax.jit, static_argnames=("size", "dec_size", "interpret"))
+def prepass_fused_quads(scene, view, prev_view, jitter, size, dec_size,
+                        interpret: bool = False):
+    """SMAA TU4X decimation context: for each stride-2 parity quad (a, b)
+    the depth / velocity.xy / instance planes at dec_size, computed by
+    tracing rays at the decimated coords (2y+a, 2x+b) — identical values
+    to the full-res G-buffer's quad decimation (smaa.py _parity_ctx),
+    without the ~1.5 ms/plane XLA quad-reshape relayouts.
+
+    Returns {(a, b): {"depth" [h,w], "velocity" [h,w,2], "instance"
+    [h,w]}}. The scene tables are identical to prepass_fused's, so XLA
+    CSEs the packing when both run in one jitted frame."""
+    from hikari_tpu.ops.light_fused import _pack8
+
+    h, w = size
+    tris = _pack8(scene["tri_pos_flat"])
+    n_inst = scene["inst_motion"].shape[0]
+    motion = jnp.pad(scene["inst_motion"], ((0, 0), (0, _LANES - 16)))
+
+    row0 = jnp.zeros((_LANES,), jnp.float32)
+    row0 = lax.dynamic_update_slice(
+        row0, view["inverse_view_proj"].reshape(-1), (_P_INV_VP,))
+    row0 = lax.dynamic_update_slice(
+        row0, view["view_proj"].reshape(-1), (_P_VP,))
+    row0 = lax.dynamic_update_slice(
+        row0, prev_view["view_proj"].reshape(-1), (_P_PREV_VP,))
+    row0 = lax.dynamic_update_slice(
+        row0, view["world_position"], (_P_CAM,))
+    row0 = lax.dynamic_update_slice(
+        row0, jnp.asarray(jitter, jnp.float32), (_P_JIT,))
+    row0 = row0.at[_P_WH].set(float(w)).at[_P_WH + 1].set(float(h))
+
+    dh, dw = dec_size
+    bh = _block_h(dw)
+    hp = -(-dh // bh) * bh
+    kernel = _build_kernel_slim(n_tri_rows=tris.shape[0], n_inst=n_inst,
+                                width=dw, block_h=bh)
+
+    def tab_spec(r):
+        return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    ray_spec = pl.BlockSpec((bh, dw), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            params = (row0.at[_P_OFF].set(float(a))
+                      .at[_P_OFFX].set(float(b)))[None, :]
+            dep, velu, velv, inst = pl.pallas_call(
+                kernel,
+                interpret=interpret,
+                grid=(hp // bh,),
+                in_specs=[tab_spec(1), tab_spec(tris.shape[0]),
+                          tab_spec(n_inst)],
+                out_specs=[ray_spec] * 4,
+                out_shape=[jax.ShapeDtypeStruct((hp, dw), jnp.float32)] * 4,
+            )(params, tris, motion)
+            out[(a, b)] = {
+                "depth": dep[:dh],
+                "velocity": jnp.stack([velu[:dh], velv[:dh]], axis=-1),
+                "instance": inst[:dh],
+            }
+    return out

@@ -131,7 +131,8 @@ def _parity_sample(full, parity, render_size, ky: int = 0, kx: int = 0):
     return jnp.where(parity == 0, sl(0), sl(1))
 
 
-def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
+def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size,
+              quads=None):
     """Pass 1 + 2; returns [2rh, 2rw, 4]. gbuf/prev_gbuf at output (full)
     res; tone/prev_tone at render res."""
     rh, rw = render_size
@@ -147,9 +148,19 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size):
     # (all affine: shared parity-decimation ctx + static shifts). Only the
     # channels SMAA actually reads ride the ctx: depth (position.w),
     # velocity.xy, instance — 4 decimated channels instead of 10.
-    pos_ctx = _parity_ctx(gbuf["position"][..., 3:4], render_size)
-    vel_ctx = _parity_ctx(gbuf["velocity_uv"][..., :2], render_size)
-    inst_ctx = _parity_ctx(gbuf["instance_material"][..., 0:1], render_size)
+    if quads is None:
+        pos_ctx = _parity_ctx(gbuf["position"][..., 3:4], render_size)
+        vel_ctx = _parity_ctx(gbuf["velocity_uv"][..., :2], render_size)
+        inst_ctx = _parity_ctx(gbuf["instance_material"][..., 0:1],
+                               render_size)
+    else:
+        # precomputed parity-quad planes (prepass_fused_quads): identical
+        # values to the quad decimation above, no relayout passes
+        pos_ctx = ("quad", {k: q["depth"][..., None]
+                            for k, q in quads.items()})
+        vel_ctx = ("quad", {k: q["velocity"] for k, q in quads.items()})
+        inst_ctx = ("quad", {k: q["instance"][..., None]
+                             for k, q in quads.items()})
 
     def pos_at(ky, kx):
         return _parity_sample_ctx(pos_ctx, prev_j, render_size, ky, kx)

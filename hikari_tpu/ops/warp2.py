@@ -10,11 +10,15 @@ weights in VMEM (measured 8 ms at 1080p F=16 on v5e, tools/probe_warp_proto).
 Key layout facts (measured/verified on this toolchain):
 - dynamic LANE offsets in DMA slices are rejected by Mosaic ("tile index in
   dimension 2 is divisible by the tiling"), so the window's x-offset rides a
-  NON-tiled outer dim: V[hb, wbt, wrows, 128] with V[by, bx] = source rows
-  8*by .. 8*by+wrows of the 8-pixel block bx (16 channels/pixel = 128 lanes).
+  NON-tiled outer dim: panels p[hb, wbt, 8, 128] (8 rows x 8 pixels x 16
+  channels per block) and each group DMAs the WBxWB block window
+  p[by:by+WB, bx:bx+WB] (sliced leading dims only).
 - scalar-prefetch operands are row-padded in SMEM: pack (by, bx) into ONE
   i32 per group or a [G, 2] table blows the 1 MB SMEM budget.
 - all reduces for one source share the single window DMA (reduces arg).
+- the per-pixel x filter weight is evaluated once on [npix, 32] and spread
+  to the 8px*16ch lane layout by an MXU dot with a 0/1 expansion matrix
+  (exact: the bf16 3-pass f32 decomposition is exact against 0/1).
 
 Semantics match ops/warp.py: group-mean-centered window, edge clamping of
 local coords (pixels whose source strays past the window clamp to its edge
@@ -64,7 +68,7 @@ def _weights(dist, kernel: str):
 def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float],
                                       Tuple[int, int]], ...],
                  dtype):
-    def kernel(byx_ref, v_any, ly, lx, *rest):
+    def kernel(byx_ref, p_any, ly, lx, *rest):
         nred = len(reduces)
         outs = rest[:nred]
         scr, sem = rest[nred], rest[nred + 1]
@@ -76,8 +80,11 @@ def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float],
             packed = byx_ref[g]
             by = jax.lax.div(packed, 4096)
             bx = jax.lax.rem(packed, 4096)
+            # window = WBxWB panel blocks straight out of the compact panel
+            # tensor (the old pre-stacked V tensor duplicated every row 4x:
+            # ~2 ms of XLA concats + 4x the DMA bytes at 1080p)
             return pltpu.make_async_copy(
-                v_any.at[by, pl.ds(bx, WB)], scr.at[slot, k],
+                p_any.at[pl.ds(by, WB), pl.ds(bx, WB)], scr.at[slot, k],
                 sem.at[slot, k])
 
         @pl.when(b == 0)
@@ -95,34 +102,49 @@ def _make_kernel(reduces: Tuple[Tuple[str, Tuple[float, float],
         npix = GROUP * GROUP
         yy = jax.lax.broadcasted_iota(jnp.int32, (npix, WROWS), 1).astype(
             jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (npix, BLK), 1).astype(
-            jnp.float32)
-        xsub = jnp.floor(lane / FP)
+        # x-weight expansion matrix: E[s, BLK*i + l] = (s == 8i + l//FP).
+        # The x weight is identical for the FP channels of a pixel, so it is
+        # evaluated ONCE on [npix, WROWS] and spread to lane layout by one
+        # MXU dot (evaluating the filter directly on [npix, BLK] per block
+        # was ~3.4M VPU ops/group — the round-3 profile's 15 ms TAA warp).
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (WROWS, WB * BLK), 0)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (WROWS, WB * BLK), 1)
+        expand = (sidx == (lidx // BLK) * 8
+                  + jax.lax.rem(lidx, BLK) // FP).astype(dtype)
         for k in range(B):
             dma(slot, b, k).wait()
             # contraction inputs stay in the window dtype (f32 accumulate):
             # for bf16 windows the MXU runs natively (f32 inputs cost a
             # 3-pass decomposition); f32 windows keep full fidelity for
-            # callers that asked for it
-            wins = [scr[slot, k, i] for i in range(WB)]
-            for r, (kname, (offy, offx), (lo, hi)) in enumerate(reduces):
+            # callers that asked for it. All reduces ride ONE pair of MXU
+            # dots with the per-reduce weight rows stacked on M (4 dots +
+            # 4 weight spreads per reduce measured ~2 ms/frame slower).
+            win = jnp.concatenate(
+                [scr[slot, k, :, i].reshape(WROWS, BLK) for i in range(WB)],
+                axis=1)  # [WROWS, WB*BLK]
+            wys, wxs = [], []
+            for (kname, (offy, offx), _) in reduces:
                 m = _margin(kname)
                 lyv = jnp.clip(ly[k, :] + offy, m - 1.0, WROWS - m)
                 lxv = jnp.clip(lx[k, :] + offx, m - 1.0, WROWS - m)
-                wy = _weights(lyv[:, None] - yy, kname).astype(dtype)
-                s128 = jnp.zeros((npix, BLK), jnp.float32)
-                for i in range(WB):
-                    t = jnp.dot(wy, wins[i],
-                                preferred_element_type=jnp.float32)
-                    wx = _weights(lxv[:, None] - (xsub + 8.0 * i), kname)
-                    s128 = s128 + t * wx
-                acc = jnp.zeros((npix, FP), jnp.float32)
-                for j in range(8):
-                    acc = acc + s128[:, j * FP:(j + 1) * FP]
-                # write only the requested channel range: slicing the full
-                # [G, npix, 16] output afterwards costs a real pass (3.25
-                # ms profiled for the TAA aux slice at 1080p)
-                outs[r][k, :, :] = acc[:, lo:hi]
+                wys.append(_weights(lyv[:, None] - yy, kname).astype(dtype))
+                wxs.append(_weights(lxv[:, None] - yy, kname).astype(dtype))
+            wy_all = jnp.concatenate(wys, axis=0)   # [nred*npix, WROWS]
+            wx_all = jnp.concatenate(wxs, axis=0)
+            wxe = jnp.dot(wx_all, expand, preferred_element_type=jnp.float32)
+            t = jnp.dot(wy_all, win, preferred_element_type=jnp.float32)
+            s = t * wxe                              # [nred*npix, WB*BLK]
+            s128 = s[:, :BLK]
+            for i in range(1, WB):
+                s128 = s128 + s[:, i * BLK:(i + 1) * BLK]
+            acc = s128[:, :FP]
+            for j in range(1, 8):
+                acc = acc + s128[:, j * FP:(j + 1) * FP]
+            # write only the requested channel range: slicing the full
+            # [G, npix, 16] output afterwards costs a real pass (3.25
+            # ms profiled for the TAA aux slice at 1080p)
+            for r, (_, _, (lo, hi)) in enumerate(reduces):
+                outs[r][k, :, :] = acc[r * npix:(r + 1) * npix, lo:hi]
 
     return kernel
 
@@ -157,7 +179,8 @@ def warp_multi(src, sy, sx,
     G0 = gy * gx
     G = -(-G0 // B) * B
 
-    # ---- block tensor V [hb, wbt, WROWS, 128] (edge-padded panels)
+    # ---- compact panel tensor p [hb, wbt, 8, 128]; the kernel DMAs a
+    # WBxWB block window per group directly from it
     hb = -(-H // 8)
     wbt = -(-W // 8)
     pad_h = hb * 8 - H
@@ -168,23 +191,24 @@ def warp_multi(src, sy, sx,
             [srcp, jnp.zeros((H, W, FP - F), dtype)], axis=-1)
     if pad_h or pad_w:
         srcp = jnp.pad(srcp, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
-    # panels [hb, wbt, 8, 128]
     p = srcp.reshape(hb, 8, wbt, 8 * FP).transpose(0, 2, 1, 3)
-    # vertical window stack: V[by, bx] rows 8*by .. +WROWS (edge-clamped)
-    p_ext = jnp.concatenate([p] + [p[-1:]] * (WB - 1), axis=0)
-    v = jnp.concatenate([p_ext[i:i + hb] for i in range(WB)], axis=2)
-    # horizontal margin: windows start at bx and span WB blocks
-    v = jnp.concatenate([v] + [v[:, -1:]] * (WB - 1), axis=1)
+    # tiny sources: guarantee at least WB blocks each way (edge clones)
+    if hb < WB:
+        p = jnp.concatenate([p] + [p[-1:]] * (WB - hb), axis=0)
+    if wbt < WB:
+        p = jnp.concatenate([p] + [p[:, -1:]] * (WB - wbt), axis=1)
 
-    # ---- per-group base blocks + local coords
+    # ---- per-group base blocks + local coords (window fully interior:
+    # by <= hb-WB keeps the WBxWB DMA in range, and every clipped source
+    # row/col 0..H-1 stays inside the shifted window)
     sy_g = sy.reshape(gy, GROUP, gx, GROUP).transpose(0, 2, 1, 3)
     sx_g = sx.reshape(gy, GROUP, gx, GROUP).transpose(0, 2, 1, 3)
     y_mean = sy_g.mean(axis=(2, 3))
     x_mean = sx_g.mean(axis=(2, 3))
     by = jnp.clip(jnp.round((y_mean - WROWS / 2) / 8).astype(jnp.int32),
-                  0, hb - 1)
+                  0, max(p.shape[0] - WB, 0))
     bx = jnp.clip(jnp.round((x_mean - WROWS / 2) / 8).astype(jnp.int32),
-                  0, wbt - 1)
+                  0, max(p.shape[1] - WB, 0))
     npix = GROUP * GROUP
     ly = (sy_g - (by * 8)[:, :, None, None]).reshape(G0, npix)
     lx = (sx_g - (bx * 8)[:, :, None, None]).reshape(G0, npix)
@@ -211,7 +235,7 @@ def warp_multi(src, sy, sx,
         out_specs=[pl.BlockSpec((B, npix, wd), lambda g, byx: (g, 0, 0))
                    for wd in widths],
         scratch_shapes=[
-            pltpu.VMEM((2, B, WB, WROWS, BLK), dtype),
+            pltpu.VMEM((2, B, WB, WB, 8, BLK), dtype),
             pltpu.SemaphoreType.DMA((2, B)),
         ],
     )
@@ -222,7 +246,7 @@ def warp_multi(src, sy, sx,
                    for wd in widths],
         interpret=not on_tpu,
     )
-    outs = fn(byx, v, ly, lx)
+    outs = fn(byx, p, ly, lx)
     results = []
     for wd, o in zip(widths, outs):
         full = (o[:G0].reshape(gy, gx, GROUP, GROUP, wd)

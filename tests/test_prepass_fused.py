@@ -92,6 +92,40 @@ def test_prepass_fused_decimated_matches_resample(frame_number):
                                ddx, rtol=1e-6, atol=1e-7)
 
 
+def test_prepass_fused_quads_match_gbuf():
+    """Each SMAA parity-quad plane must equal the corresponding stride-2
+    decimation of the full-res G-buffer (smaa.py _parity_ctx contract)."""
+    from hikari_tpu.ops.prepass_fused import prepass_fused_quads
+
+    gpu = emissive_scene().compile()
+    scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
+    cam = Camera.from_look_at((3.0, 2.5, 3.0), (0, 0.5, 0),
+                              width=SIZE[1], height=SIZE[0])
+    view = {k: jnp.asarray(v) for k, v in cam.view_uniform().items()}
+    cam2 = Camera.from_look_at((3.1, 2.6, 2.9), (0, 0.5, 0),
+                               width=SIZE[1], height=SIZE[0])
+    prev_view = {k: jnp.asarray(v) for k, v in cam2.view_uniform().items()}
+    fn = jnp.uint32(3)
+    jit = frame_jitter(fn, Taa.JASMINE, UpscaleMode.SMAA_TU4X)
+    gbuf, _ = prepass_fused(scene, view, prev_view, jit, SIZE,
+                            interpret=True)
+    dec_size = (SIZE[0] // 2, SIZE[1] // 2)
+    quads = prepass_fused_quads(scene, view, prev_view, jit, SIZE, dec_size,
+                                interpret=True)
+    for (a, b), q in quads.items():
+        np.testing.assert_array_equal(
+            np.asarray(q["depth"]),
+            np.asarray(gbuf["position"][a::2, b::2, 3]), err_msg=f"d{a}{b}")
+        np.testing.assert_array_equal(
+            np.asarray(q["velocity"]),
+            np.asarray(gbuf["velocity_uv"][a::2, b::2, :2]),
+            err_msg=f"v{a}{b}")
+        np.testing.assert_array_equal(
+            np.asarray(q["instance"]),
+            np.asarray(gbuf["instance_material"][a::2, b::2, 0]),
+            err_msg=f"i{a}{b}")
+
+
 def test_prepass_fused_not_eligible_with_textures():
     gpu = emissive_scene().compile()
     scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
