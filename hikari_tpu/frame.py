@@ -49,11 +49,14 @@ def init_carry(full_size, settings: HikariSettings):
     rh, rw = render_size
     zeros4 = lambda s: jnp.zeros(s + (4,), jnp.float32)
     packed = lambda: jnp.zeros((rh, rw, rsv.PACKED_WIDTH), jnp.float32)
+    # temporal carries use the channel-plane layout [h, 16, w] consumed by
+    # the banded reprojection gather (ops/reproj_gather.py)
+    planes = lambda: jnp.zeros((rh, rsv.PACKED_WIDTH, rw), jnp.float32)
     return {
         "frame_number": jnp.uint32(0),
-        "direct_temporal": packed(),
-        "emissive_temporal": packed(),
-        "indirect_temporal": packed(),
+        "direct_temporal": planes(),
+        "emissive_temporal": planes(),
+        "indirect_temporal": planes(),
         "spatial_de": packed(),
         "spatial_indirect": packed(),
         # previous G-buffer (prepass.rs:286-307 previous_* textures)
@@ -177,36 +180,38 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             return to_full_many([(render_c, var_c)])[0]
 
         def temporal_full_packed(r_l, carry_key):
-            """This frame's temporal reservoirs as a full-res packed tensor
-            (active pixels new, inactive keep the carry's)."""
-            p = rsv.pack_reservoir(r_l)
+            """This frame's temporal reservoirs as a full-res channel-plane
+            tensor (active pixels new, inactive keep the carry's)."""
+            p = rsv.pack_reservoir_planes(r_l)
             if not ckb:
                 return p
-            return ckb_ops.merge_packed(p, carry[carry_key], par)
+            return ckb_ops.merge_packed_planes(p, carry[carry_key], par)
 
         # ONE combined reprojection gather for the channels that trace
         # (statically inactive channels — no sun / no emissives / 0 bounces —
-        # are trimmed from the gather row entirely)
+        # are trimmed entirely). The banded Pallas gather (5.7 ms/frame)
+        # replaces the XLA row-gather that lowered to 103 ms at 1080p;
+        # under checkerboard it gathers at full render res and compresses
+        # the unpacked fields (bit-identical to the compressed-domain
+        # gather — same piy/pix per active pixel).
         carry_keys = ("direct_temporal", "emissive_temporal",
                       "indirect_temporal")
         prev_rs = [rsv.empty_reservoir(light_size) for _ in range(3)]
         gathered_chans = [c for c in range(3)
                           if chan_active[c] and settings.temporal_reuse]
         if gathered_chans:
-            combined = jnp.concatenate(
-                [carry[carry_keys[c]] for c in gathered_chans], axis=-1)
-            rh, rw = render_size
-            f3 = combined.shape[-1]
-            flat = combined.reshape(rh * rw, f3)
-            idx = (reproj_l["piy"] * rw + reproj_l["pix"]).reshape(-1)
-            gathered = jnp.take(flat, idx, axis=0).reshape(light_size + (f3,))
-            gathered = jnp.where(reproj_l["in_strict"][..., None], gathered,
-                                 0.0)
-            fw = rsv.PACKED_WIDTH
+            from hikari_tpu.ops.reproj_gather import reproj_gather
+
+            outs = reproj_gather([carry[carry_keys[c]]
+                                  for c in gathered_chans],
+                                 reproj["piy"], reproj["pix"])
             for j, c in enumerate(gathered_chans):
-                r = rsv.unpack_reservoir(gathered[..., j * fw:(j + 1) * fw])
+                p = jnp.where(reproj["in_strict"][:, None, :], outs[j], 0.0)
+                r = rsv.unpack_reservoir_planes(p)
                 r["visible_instance"] = jnp.where(
-                    reproj_l["in_strict"], r["visible_instance"], -1)
+                    reproj["in_strict"], r["visible_instance"], -1)
+                if ckb:
+                    r = {k: ckb_ops.compress(v, par) for k, v in r.items()}
                 prev_rs[c] = r
 
         # --- fused mega-kernel fast path: the whole no-reuse lighting
@@ -316,8 +321,9 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 # spatial reuse runs at FULL render res: under checkerboard the
                 # merged reservoir field (new actives + carried inactives) gives
                 # every pixel a temporal reservoir to merge from
-                e_temporal_for_spatial = (rsv.unpack_reservoir(e_temporal_packed)
-                                          if ckb else e["temporal"])
+                e_temporal_for_spatial = (
+                    rsv.unpack_reservoir_planes(e_temporal_packed)
+                    if ckb else e["temporal"])
                 sp = restir.spatial_reuse(
                     scene, g, view, frame, e_temporal_for_spatial, spatial_de,
                     reproj, emissive_lit=True, no_texture=no_texture,
@@ -354,8 +360,9 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 i_var = jnp.zeros((rh2, rw2))
             if track_ind:
                 spatial_ind = i["prev_spatial_packed"]
-                i_temporal_for_spatial = (rsv.unpack_reservoir(i_temporal_packed)
-                                          if ckb else i["temporal"])
+                i_temporal_for_spatial = (
+                    rsv.unpack_reservoir_planes(i_temporal_packed)
+                    if ckb else i["temporal"])
                 sp = restir.spatial_reuse(
                     scene, g, view, frame, i_temporal_for_spatial, spatial_ind,
                     reproj, emissive_lit=False, no_texture=no_texture,

@@ -127,3 +127,16 @@ def merge_packed(new_packed_c, old_packed_full, par):
     mask = active_mask(par, (h, w))
     return jnp.where(mask[..., None], expand(new_packed_c, par),
                      old_packed_full)
+
+
+def merge_packed_planes(new_c, old_full, par):
+    """merge_packed for the channel-plane layout: new_c [h, F, w/2],
+    old_full [h, F, w]."""
+    h, F, w = old_full.shape
+    a = new_c
+    z = jnp.zeros_like(a)
+    at_even = jnp.stack([a, z], axis=3).reshape(h, F, w)
+    at_odd = jnp.stack([z, a], axis=3).reshape(h, F, w)
+    expanded = jnp.where(_row_even(par, h, 0)[:, None, :1], at_even, at_odd)
+    mask = active_mask(par, (h, w))[:, None, :]
+    return jnp.where(mask, expanded, old_full)

@@ -1,0 +1,204 @@
+"""Banded per-pixel reprojection gather (Pallas).
+
+The temporal-reuse path must fetch each pixel's previous-frame reservoir at
+its reprojected coords (light.wgsl:1089). The XLA row-gather formulation
+(`jnp.take` of a [h*w, 16F] table) lowered to a 103 ms/frame kCustom
+gather at 1080p (round-3 profile) — element-strided reads. This kernel
+exploits the banded structure of reprojection (source coords deviate from
+each pixel's position by a smooth velocity field):
+
+* per 8x128-pixel group, the mean integer offset (rdy, rdx) centers a
+  [GROUP_H+2R, GROUP_W+margin] window; the window is DMA'd from the
+  channel-plane source [h, F, w] (rows at 1-row granularity, x at
+  128-lane chunks + one dynamic lane roll for sub-chunk alignment);
+* each pixel's residual (source minus position minus group mean) is an
+  integer in [-R, R]^2 for smooth motion, so the gather collapses to
+  (2R+1)^2 static tap slices selected by a precomputed tap code;
+* pixels whose residual falls outside the band (motion-field
+  discontinuities: object silhouettes under fast motion) return ZEROS —
+  an empty reservoir, i.e. the same "start fresh" outcome the
+  depth/normal/instance gates produce at disocclusions.
+
+Within the band the result is bit-exact vs `jnp.take` (pure selection,
+no arithmetic on the values — safe for bit-packed reservoir fields).
+
+Sources use the channel-plane layout [h, F, w] (matching the physical
+layout XLA already chooses for [h, w, F] carries, without the logical
+transpose that forced relayouts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP_H = 8
+GROUP_W = 128
+CHUNK = 128
+NCK = 2                 # window x-chunks (256 px)
+R = 1                   # residual radius (around the group-mean offset)
+# the zero margins keep window origins unclamped, so the tap ranges only
+# need the residual band itself (+1 x tap for the o<=_O_MAX roll clamp)
+YT = 2 * R + 1          # y taps
+XT = 2 * R + 2          # x taps
+WIN_R = GROUP_H + YT - 1          # window rows
+_O_MAX = NCK * CHUNK - (GROUP_W - 1 + XT)  # max in-window roll offset
+
+
+def _make_kernel(n_src: int, fp: int):
+    def kernel(pk_ref, code_ref, *rest):
+        srcs = rest[:n_src]
+        outs = rest[n_src:2 * n_src]
+        scr, sem = rest[2 * n_src], rest[2 * n_src + 1]
+        g = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def dma(slot, gi, s, j):
+            pk = pk_ref[gi]
+            row0 = pk // (CHUNK * 16)
+            rem = pk - row0 * (CHUNK * 16)
+            cx = rem // CHUNK
+            return pltpu.make_async_copy(
+                srcs[s].at[pl.ds(row0, WIN_R), :, cx + j, :],
+                scr.at[slot, s, :, :, pl.ds(j * CHUNK, CHUNK)],
+                sem.at[slot, s, j])
+
+        @pl.when(g == 0)
+        def _():
+            for s in range(n_src):
+                for j in range(NCK):
+                    dma(0, 0, s, j).start()
+
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < n)
+        def _():
+            for s in range(n_src):
+                for j in range(NCK):
+                    dma(jax.lax.rem(g + 1, 2), g + 1, s, j).start()
+
+        o = jax.lax.rem(pk_ref[g], CHUNK)
+        code = code_ref[...]
+        masks = [code == k for k in range(YT * XT)]
+        for s in range(n_src):
+            for j in range(NCK):
+                dma(slot, g, s, j).wait()
+            rolled = pltpu.roll(scr[slot, s], -o, axis=2)
+            for c in range(fp):
+                win_c = rolled[:, c, :]          # [WIN_R, NCK*CHUNK]
+                acc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
+                for dy in range(YT):
+                    for dx in range(XT):
+                        sl = jax.lax.slice(
+                            win_c, (dy, dx), (dy + GROUP_H, dx + GROUP_W))
+                        acc = acc + jnp.where(
+                            masks[dy * XT + dx], sl, 0.0)
+                outs[s][:, c, :] = acc
+
+    return kernel
+
+
+def _group_pack(piy, pix, ylo, yhi, xlo, xhi, hp, wp):
+    """Per-group window origin + tap code. Valid source coords are
+    [ylo, yhi) x [xlo, xhi). Returns (pack [G] i32, code [hp, wp] i32)."""
+    gy, gx = hp // GROUP_H, wp // GROUP_W
+    yy = jnp.arange(hp, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    dy = piy - yy                     # per-pixel integer offset
+    dx = pix - xx
+    # group means over REAL pixels only: groups straddling the zero margin
+    # would otherwise average in the padding's bogus offsets and reject
+    # their real pixels
+    live = ((yy >= ylo) & (yy < yhi) & (xx >= xlo) & (xx < xhi)).astype(
+        jnp.float32)
+
+    def gmean(v):
+        vg = (v.astype(jnp.float32) * live).reshape(gy, GROUP_H, gx, GROUP_W)
+        n = live.reshape(gy, GROUP_H, gx, GROUP_W).sum(axis=(1, 3))
+        return jnp.round(vg.sum(axis=(1, 3))
+                         / jnp.maximum(n, 1.0)).astype(jnp.int32)
+
+    rdy = gmean(dy)                                            # [gy, gx]
+    rdx = gmean(dx)
+    gy0 = jnp.arange(gy, dtype=jnp.int32)[:, None] * GROUP_H
+    gx0 = jnp.arange(gx, dtype=jnp.int32)[None, :] * GROUP_W
+    # center the slack (YT-1-2R extra rows / XT-1-2R extra cols) around
+    # the mean so both residual signs keep full +-R coverage
+    row0 = jnp.clip(gy0 + rdy - R - (YT - 1 - 2 * R) // 2, 0, hp - WIN_R)
+    xw0 = gx0 + rdx - R - (XT - 1 - 2 * R) // 2
+    cx = jnp.clip(xw0 // CHUNK, 0, wp // CHUNK - NCK)
+    o = jnp.clip(xw0 - cx * CHUNK, 0, _O_MAX)
+    x0 = cx * CHUNK + o
+    pack = (row0 * 16 + cx) * CHUNK + o                        # [gy, gx]
+    # tap code vs the ACTUAL window origin (clamps self-invalidate)
+    row0_e = jnp.repeat(jnp.repeat(row0, GROUP_H, 0), GROUP_W, 1)
+    x0_e = jnp.repeat(jnp.repeat(x0, GROUP_H, 0), GROUP_W, 1)
+    py = yy % GROUP_H
+    px = xx % GROUP_W
+    dyi = piy - row0_e - py
+    dxi = pix - x0_e - px
+    ok = ((dyi >= 0) & (dyi < YT) & (dxi >= 0) & (dxi < XT)
+          & (piy >= ylo) & (piy < yhi) & (pix >= xlo) & (pix < xhi))
+    code = jnp.where(ok, dyi * XT + dxi, -1)
+    return pack.reshape(-1), code
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def reproj_gather(sources: Sequence, piy, pix,
+                  interpret: bool = False) -> List:
+    """sources: list of [h, F, w] f32 channel-plane tensors (same h/F/w).
+    piy/pix: [h, w] i32 source coords. Returns list of [h, F, w] with
+    out[y, :, x] = src[piy, :, pix] for in-band pixels, zeros otherwise."""
+    n_src = len(sources)
+    h, fp, w = sources[0].shape
+    if not interpret:
+        interpret = not any(d.platform != "cpu" for d in jax.devices())
+    # zero margin so window origins never clamp (clamped windows would
+    # misalign the static tap range and reject whole edge groups under
+    # motion); sources are clipped to [0,h)x[0,w) by the caller, so the
+    # margin is never selected by an in-band tap
+    my, mx = GROUP_H, CHUNK
+    hp = -(-(h + 2 * my) // GROUP_H) * GROUP_H
+    wp = -(-(w + 2 * mx) // GROUP_W) * GROUP_W
+    srcs = []
+    for s in sources:
+        assert s.shape == (h, fp, w)
+        sp = jnp.pad(s, ((my, hp - h - my), (0, 0), (mx, wp - w - mx)))
+        # 128-lane x-chunk view (free: splits the minor dim)
+        srcs.append(sp.reshape(hp, fp, wp // CHUNK, CHUNK))
+    piy = jnp.pad(piy.astype(jnp.int32) + my, ((my, hp - h - my),
+                                               (mx, wp - w - mx)))
+    pix = jnp.pad(pix.astype(jnp.int32) + mx, ((my, hp - h - my),
+                                               (mx, wp - w - mx)))
+    pack, code = _group_pack(piy, pix, my, h + my, mx, w + mx, hp, wp)
+    gy, gx = hp // GROUP_H, wp // GROUP_W
+    G = gy * gx
+
+    kernel = _make_kernel(n_src, fp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((GROUP_H, GROUP_W),
+                               lambda g, pk, gx=gx: (g // gx, g % gx))]
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * n_src,
+        out_specs=[pl.BlockSpec((GROUP_H, fp, GROUP_W),
+                                lambda g, pk, gx=gx: (g // gx, 0, g % gx))]
+        * n_src,
+        scratch_shapes=[
+            pltpu.VMEM((2, n_src, WIN_R, fp, NCK * CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_src, NCK)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hp, fp, wp), jnp.float32)] * n_src,
+        interpret=interpret,
+    )(pack, code, *srcs)
+    return [o[my:my + h, :, mx:mx + w] for o in outs]

@@ -215,43 +215,62 @@ def _snorm8_unvec(lane):
     return n3, (u >> 24).astype(jnp.float32)
 
 
-def pack_reservoir(r):
+def _pack_planes(r):
+    """The 16 packed lanes as individual [h, w] planes."""
     rad = r["radiance"]
     rnd = r["random"]
-    lanes = [
-        r["visible_position"][..., 0:4],                       # 0:4
-        r["sample_position"][..., 0:3],                        # 4:7
-        r["visible_instance"].astype(jnp.float32)[..., None],  # 7
-        _bf16_pair(rad[..., 0], rad[..., 1])[..., None],       # 8
-        _bf16_pair(rad[..., 2], rad[..., 3])[..., None],       # 9
-        _unorm16_pair(rnd[..., 0], rnd[..., 1])[..., None],    # 10
-        _unorm16_pair(rnd[..., 2], rnd[..., 3])[..., None],    # 11
+    return [
+        r["visible_position"][..., 0],                          # 0
+        r["visible_position"][..., 1],                          # 1
+        r["visible_position"][..., 2],                          # 2
+        r["visible_position"][..., 3],                          # 3
+        r["sample_position"][..., 0],                           # 4
+        r["sample_position"][..., 1],                           # 5
+        r["sample_position"][..., 2],                           # 6
+        r["visible_instance"].astype(jnp.float32),              # 7
+        _bf16_pair(rad[..., 0], rad[..., 1]),                   # 8
+        _bf16_pair(rad[..., 2], rad[..., 3]),                   # 9
+        _unorm16_pair(rnd[..., 0], rnd[..., 1]),                # 10
+        _unorm16_pair(rnd[..., 2], rnd[..., 3]),                # 11
         _snorm8_vec(r["visible_normal"],
-                    jnp.clip(r["lifetime"], 0.0, 255.0))[..., None],   # 12
+                    jnp.clip(r["lifetime"], 0.0, 255.0)),       # 12
         _snorm8_vec(r["sample_normal"],
                     (r["sample_position"][..., 3] > 0.5)
-                    .astype(jnp.float32) * 255.0)[..., None],  # 13
-        _bf16_pair(r["count"], r["w"])[..., None],             # 14
-        _bf16_pair(r["w_sum"], r["w2_sum"])[..., None],        # 15
+                    .astype(jnp.float32) * 255.0),              # 13
+        _bf16_pair(r["count"], r["w"]),                         # 14
+        _bf16_pair(r["w_sum"], r["w2_sum"]),                    # 15
     ]
-    return jnp.concatenate(lanes, axis=-1)
 
 
-def unpack_reservoir(t):
-    rad01 = _bf16_unpair(t[..., 8])
-    rad23 = _bf16_unpair(t[..., 9])
-    rnd01 = _unorm16_unpair(t[..., 10])
-    rnd23 = _unorm16_unpair(t[..., 11])
-    vnrm, lifetime = _snorm8_unvec(t[..., 12])
-    snrm, sflag = _snorm8_unvec(t[..., 13])
-    count, w = _bf16_unpair(t[..., 14])
-    w_sum, w2_sum = _bf16_unpair(t[..., 15])
+def pack_reservoir(r):
+    return jnp.stack(_pack_planes(r), axis=-1)
+
+
+def pack_reservoir_planes(r):
+    """Channel-plane layout [h, PACKED_WIDTH, w] — the format the banded
+    reprojection gather consumes (ops/reproj_gather.py); matches the
+    physical layout XLA picks for the channel-last carry without the
+    logical transpose."""
+    return jnp.stack(_pack_planes(r), axis=1)
+
+
+def _unpack_fields(take):
+    """Shared bit-unpack logic; take(i) yields packed lane i [h, w]."""
+    rad01 = _bf16_unpair(take(8))
+    rad23 = _bf16_unpair(take(9))
+    rnd01 = _unorm16_unpair(take(10))
+    rnd23 = _unorm16_unpair(take(11))
+    vnrm, lifetime = _snorm8_unvec(take(12))
+    snrm, sflag = _snorm8_unvec(take(13))
+    count, w = _bf16_unpair(take(14))
+    w_sum, w2_sum = _bf16_unpair(take(15))
     return {
-        "visible_position": t[..., 0:4],
-        "sample_position": jnp.concatenate(
-            [t[..., 4:7], (sflag > 127.0).astype(jnp.float32)[..., None]],
-            axis=-1),
-        "visible_instance": t[..., 7].astype(jnp.int32),
+        "visible_position": jnp.stack(
+            [take(0), take(1), take(2), take(3)], -1),
+        "sample_position": jnp.stack(
+            [take(4), take(5), take(6),
+             (sflag > 127.0).astype(jnp.float32)], -1),
+        "visible_instance": take(7).astype(jnp.int32),
         "radiance": jnp.stack([rad01[0], rad01[1], rad23[0], rad23[1]], -1),
         "random": jnp.stack([rnd01[0], rnd01[1], rnd23[0], rnd23[1]], -1),
         "visible_normal": vnrm,
@@ -262,6 +281,15 @@ def unpack_reservoir(t):
         "w_sum": w_sum,
         "w2_sum": w2_sum,
     }
+
+
+def unpack_reservoir(t):
+    return _unpack_fields(lambda i: t[..., i])
+
+
+def unpack_reservoir_planes(t):
+    """Inverse of pack_reservoir_planes ([h, PACKED_WIDTH, w])."""
+    return _unpack_fields(lambda i: t[:, i, :])
 
 
 def gather_reservoir_packed(packed, iy, ix, valid):

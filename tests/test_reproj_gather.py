@@ -1,0 +1,54 @@
+"""Banded reprojection gather (ops/reproj_gather.py) vs jnp.take.
+
+In-band pixels (residual within +-R of the group-mean offset) must match
+the exact row gather bit-for-bit; out-of-band pixels return zeros (the
+empty-reservoir rejection contract)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hikari_tpu.ops.reproj_gather import reproj_gather
+
+
+def _field(h, w, pan_y, pan_x, grad=0.0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    piy = np.clip(np.round(yy + pan_y + grad * xx), 0, h - 1).astype(np.int32)
+    pix = np.clip(np.round(xx + pan_x - grad * yy), 0, w - 1).astype(np.int32)
+    return piy, pix
+
+
+@pytest.mark.parametrize("pan", [(0.0, 0.0), (-3.2, 5.7), (12.0, -40.0)])
+def test_reproj_gather_matches_take(pan):
+    rng = np.random.default_rng(0)
+    h, w, F = 48, 384, 16
+    srcs = [rng.normal(size=(h, F, w)).astype(np.float32) for _ in range(2)]
+    piy, pix = _field(h, w, *pan, grad=0.002)
+    outs = reproj_gather([jnp.asarray(s) for s in srcs],
+                         jnp.asarray(piy), jnp.asarray(pix))
+    # interior = pixels a full group away from any coordinate-clipped band
+    # (groups straddling a clipped frame edge have polluted mean offsets
+    # and legitimately reject -> the disocclusion contract)
+    yy, xx = np.mgrid[0:h, 0:w]
+    interior = ((yy + pan[0] >= 8) & (yy + pan[0] <= h - 9)
+                & (xx + pan[1] >= 128) & (xx + pan[1] <= w - 129))
+    for s, o in zip(srcs, outs):
+        ref = np.moveaxis(s[piy, :, pix], -1, 1)
+        got = np.asarray(o)
+        match = (got == ref).all(axis=1)
+        # every pixel either matches the exact gather or is rejected to 0
+        assert ((got == ref) | (got == 0)).all()
+        assert match[interior].mean() > 0.93, (pan, match[interior].mean())
+
+
+def test_reproj_gather_static_identity_is_exact():
+    """Zero motion: every pixel in-band -> bit-exact everywhere."""
+    rng = np.random.default_rng(1)
+    h, w, F = 40, 256, 16
+    src = rng.normal(size=(h, F, w)).astype(np.float32)
+    piy, pix = _field(h, w, 0.0, 0.0)
+    out, = reproj_gather([jnp.asarray(src)], jnp.asarray(piy),
+                         jnp.asarray(pix))
+    np.testing.assert_array_equal(np.asarray(out), src)
