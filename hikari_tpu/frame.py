@@ -106,7 +106,9 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                      "inverse_view_proj": carry["prev_inverse_view_proj"]}
 
         from hikari_tpu.ops import prepass_fused as _pf
+        from hikari_tpu.parallel import shard as _sh
 
+        mesh = _sh.active_mesh()
         g = albedo_r = smaa_quads = None
         if _pf.prepass_fused_eligible(scene, no_texture=no_texture,
                                       tracer_kind=getattr(tracer, "kind",
@@ -126,13 +128,14 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 gbuf, albedo, g, albedo_r = _pf.prepass_fused(
                     scene, view, prev_view, jit, full_size,
                     dec_size=render_size,
-                    dec_parity=frame["number"] & 1)
+                    dec_parity=frame["number"] & 1, mesh=mesh)
                 if upscale.mode == UpscaleMode.SMAA_TU4X:
                     smaa_quads = _pf.prepass_fused_quads(
-                        scene, view, prev_view, jit, full_size, render_size)
+                        scene, view, prev_view, jit, full_size, render_size,
+                        mesh=mesh)
             else:
                 gbuf, albedo = _pf.prepass_fused(scene, view, prev_view,
-                                                 jit, full_size)
+                                                 jit, full_size, mesh=mesh)
         else:
             gbuf = prepass(scene, tracer, view, prev_view, frame["number"],
                            full_size, taa, upscale.mode)
@@ -204,7 +207,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
 
             outs = reproj_gather([carry[carry_keys[c]]
                                   for c in gathered_chans],
-                                 reproj["piy"], reproj["pix"])
+                                 reproj["piy"], reproj["pix"], mesh=mesh)
             for j, c in enumerate(gathered_chans):
                 p = jnp.where(reproj["in_strict"][:, None, :], outs[j], 0.0)
                 r = rsv.unpack_reservoir_planes(p)

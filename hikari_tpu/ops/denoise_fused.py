@@ -62,9 +62,11 @@ def _build_kernel(*, step: int, nch: int, ffs: tuple, bh: int,
     s = step
     k_center = float(ATROUS_KERNEL[1, 1])
 
-    def kernel(irr_prev, irr_cur, irr_next, geo_prev, geo_cur, geo_next,
-               f_prev, f_cur, f_next, out):
-        r0 = pl.program_id(0) * bh
+    def kernel(row0_ref, irr_prev, irr_cur, irr_next, geo_prev, geo_cur,
+               geo_next, f_prev, f_cur, f_next, out):
+        # row0: global row of this call's first row (manual sharding —
+        # parallel/shard.py); the out-of-image tap masks use global rows
+        r0 = pl.program_id(0) * bh + row0_ref[0]
 
         def window(prev, cur, nxt, p, oy):
             """Rows [oy*s, oy*s + bh) of plane p relative to this block."""
@@ -187,10 +189,11 @@ def _build_kernel(*, step: int, nch: int, ffs: tuple, bh: int,
 @partial(jax.jit, static_argnames=("step", "nch", "ffs", "size",
                                    "interpret"))
 def atrous_level(irr, geo, f32s, *, step: int, nch: int, ffs: tuple,
-                 size, interpret: bool = False):
+                 size, interpret: bool = False, row0=None):
     """One a-trous level for all channels. irr [3C,Hp,W] bf16,
     geo [5+C,Hp,W] bf16, f32s [2,Hp,W] f32 (row-padded to the block
-    multiple); returns the filtered irr stack [3C,Hp,W] bf16."""
+    multiple); returns the filtered irr stack [3C,Hp,W] bf16. row0:
+    global row of the stack's first row (sharded local calls)."""
     h, w = size
     bh = _block_rows(nch)
     hp = irr.shape[1]
@@ -199,31 +202,38 @@ def atrous_level(irr, geo, f32s, *, step: int, nch: int, ffs: tuple,
 
     kernel = _build_kernel(step=step, nch=nch, ffs=tuple(ffs), bh=bh,
                            h=h, w=w)
+    if row0 is None:
+        row0 = 0
+    row0 = jnp.asarray([row0], jnp.int32)
 
     def spec(p, delta):
         if delta == 0:
-            return pl.BlockSpec((p, bh, w), lambda i: (0, i, 0),
+            return pl.BlockSpec((p, bh, w), lambda i, pk: (0, i, 0),
                                 memory_space=pltpu.VMEM)
         if delta < 0:
             return pl.BlockSpec((p, bh, w),
-                                lambda i: (0, jnp.maximum(i - 1, 0), 0),
+                                lambda i, pk: (0, jnp.maximum(i - 1, 0), 0),
                                 memory_space=pltpu.VMEM)
         return pl.BlockSpec((p, bh, w),
-                            lambda i: (0, jnp.minimum(i + 1, nb - 1), 0),
+                            lambda i, pk: (0, jnp.minimum(i + 1, nb - 1), 0),
                             memory_space=pltpu.VMEM)
 
     ni, ng = irr.shape[0], geo.shape[0]
-    return pl.pallas_call(
-        kernel,
-        interpret=interpret,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[spec(ni, -1), spec(ni, 0), spec(ni, 1),
                   spec(ng, -1), spec(ng, 0), spec(ng, 1),
                   spec(5, -1), spec(5, 0), spec(5, 1)],
-        out_specs=pl.BlockSpec((ni, bh, w), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((ni, bh, w), lambda i, pk: (0, i, 0),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((ni, hp, w), jnp.bfloat16),
-    )(irr, irr, irr, geo, geo, geo, f32s, f32s, f32s)
+    )(row0, irr, irr, irr, geo, geo, geo, f32s, f32s, f32s)
 
 
 def denoise_levels_fused(irrs, variances, normal, gradient, depth, instance,
@@ -252,10 +262,46 @@ def denoise_levels_fused(irrs, variances, normal, gradient, depth, instance,
     f32s = jnp.stack([pad(depth), pad(instance), pad(normal[..., 0]),
                       pad(normal[..., 1]), pad(normal[..., 2])])
 
-    for step in steps:
-        irr = atrous_level(irr, geo, f32s, step=step, nch=nch,
-                           ffs=tuple(ffs), size=(h, w),
-                           interpret=interpret)
+    from hikari_tpu.parallel import shard as _sh
+
+    mesh = _sh.active_mesh()
+    if mesh is not None:
+        # manual row sharding: each shard filters its rows + a one-block
+        # ppermuted halo per level (the kernel's own (prev, cur, next)
+        # block triple covers taps up to +-bh rows; global-row masks kill
+        # the zero halos at the frame edges)
+        from jax.sharding import PartitionSpec as P
+
+        n = _sh.nshards(mesh)
+        hpm = -(-hp // (bh * n)) * bh * n
+        if hpm > hp:
+            extra = hpm - hp
+            irr = jnp.pad(irr, ((0, 0), (0, extra), (0, 0)))
+            geo = jnp.pad(geo, ((0, 0), (0, extra), (0, 0)))
+            f32s = jnp.pad(f32s, ((0, 0), (0, extra), (0, 0)))
+        hl = hpm // n
+
+        def local(irr, geo, f32s):
+            idx = jax.lax.axis_index(_sh.AXIS)
+            row0 = idx * hl - bh
+            geo_h = _sh.halo_rows(geo, bh, bh, n, axis=1)
+            f32_h = _sh.halo_rows(f32s, bh, bh, n, axis=1)
+            for step in steps:
+                irr_h = _sh.halo_rows(irr, bh, bh, n, axis=1)
+                out = atrous_level(irr_h, geo_h, f32_h, step=step, nch=nch,
+                                   ffs=tuple(ffs), size=(h, w),
+                                   interpret=interpret, row0=row0)
+                irr = out[:, bh:bh + hl]
+            return irr
+
+        irr = _sh.smap(local, mesh,
+                       in_specs=(P(None, _sh.AXIS, None),) * 3,
+                       out_specs=P(None, _sh.AXIS, None))(irr, geo, f32s)
+    else:
+        for step in steps:
+            irr = atrous_level(irr, geo, f32s, step=step, nch=nch,
+                               ffs=tuple(ffs), size=(h, w),
+                               interpret=interpret)
 
     irr = irr.astype(jnp.float32)
     return [jnp.stack([irr[3 * c + i, :h] for i in range(3)], axis=-1)

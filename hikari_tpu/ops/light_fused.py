@@ -915,19 +915,42 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    ray_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid=(hp // bh,),
-        in_specs=[tab_spec(2), tab_spec(tris.shape[0]),
-                  tab_spec(attrs.shape[0]), tab_spec(em_tris.shape[0]),
-                  tab_spec(em_attrs.shape[0]), tab_spec(mats.shape[0])]
-        + [ray_spec] * 13,
-        out_specs=[ray_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.float32)] * n_out,
-    )(params, tris, attrs, em_tris, em_attrs, mats, *planes)
+    def invoke(params, tris, attrs, em_tris, em_attrs, mats, *planes):
+        rows = planes[0].shape[0]
+        ray_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(rows // bh,),
+            in_specs=[tab_spec(2), tab_spec(tris.shape[0]),
+                      tab_spec(attrs.shape[0]), tab_spec(em_tris.shape[0]),
+                      tab_spec(em_attrs.shape[0]), tab_spec(mats.shape[0])]
+            + [ray_spec] * 13,
+            out_specs=[ray_spec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((rows, w), jnp.float32)]
+            * n_out,
+        )(params, tris, attrs, em_tris, em_attrs, mats, *planes)
+
+    from hikari_tpu.parallel import shard as _sh
+
+    mesh = _sh.active_mesh()
+    if mesh is not None:
+        # manual row sharding (pixel-local: no halo, no coordinate use)
+        from jax.sharding import PartitionSpec as P
+
+        n = _sh.nshards(mesh)
+        hpm = -(-hp // (bh * n)) * bh * n
+        if hpm > hp:
+            planes = [jnp.pad(p, ((0, hpm - hp), (0, 0))) for p in planes]
+        outs = _sh.smap(
+            invoke, mesh,
+            in_specs=(P(),) * 6 + (P(_sh.AXIS, None),) * 13,
+            out_specs=[P(_sh.AXIS, None)] * n_out)(
+                params, tris, attrs, em_tris, em_attrs, mats, *planes)
+    else:
+        outs = invoke(params, tris, attrs, em_tris, em_attrs, mats,
+                      *planes)
 
     valid = depth >= F32_EPSILON
     alpha = valid.astype(jnp.float32)

@@ -56,6 +56,8 @@ _P_JIT = 51       # jitter pixels x, y
 _P_WH = 53        # width, height (f32)
 _P_OFF = 55       # decimation y-parity offset (0/1, f32)
 _P_OFFX = 56      # decimation x-parity offset (0/1, f32)
+_P_ROW0 = 57      # global row offset of this call's first output row
+#                   (manual row sharding — parallel/shard.py)
 
 
 def prepass_fused_eligible(scene, *, no_texture: bool,
@@ -88,7 +90,7 @@ def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
         j = lax.broadcasted_iota(
             jnp.int32, (block_h, width), 1).astype(jnp.float32)
         if scale == 1:
-            y = pid.astype(jnp.float32) * block_h + i
+            y = pid.astype(jnp.float32) * block_h + i + params[0, _P_ROW0]
             x = j
         else:
             # decimated (jittered-deferred) pass: generate rays at the
@@ -96,7 +98,8 @@ def _build_kernel(*, n_tri_rows: int, n_inst: int, n_mats: int, width: int,
             # bit-identical to decimating the full-res planes
             # (restir.resample_deferred ratio-2 path) without any lane
             # shuffles, which cost ~1.5 ms/plane as XLA relayouts
-            y = (float(scale) * (pid.astype(jnp.float32) * block_h + i)
+            y = (float(scale) * (pid.astype(jnp.float32) * block_h + i
+                                 + params[0, _P_ROW0])
                  + params[0, _P_OFF])
             x = float(scale) * j + params[0, _P_OFFX]
 
@@ -281,7 +284,8 @@ def _build_kernel_slim(*, n_tri_rows: int, n_inst: int, width: int,
             jnp.int32, (block_h, width), 0).astype(jnp.float32)
         j = lax.broadcasted_iota(
             jnp.int32, (block_h, width), 1).astype(jnp.float32)
-        y = 2.0 * (pid.astype(jnp.float32) * block_h + i) + params[0, _P_OFF]
+        y = (2.0 * (pid.astype(jnp.float32) * block_h + i
+                    + params[0, _P_ROW0]) + params[0, _P_OFF])
         x = 2.0 * j + params[0, _P_OFFX]
 
         w_img = params[0, _P_WH]
@@ -394,10 +398,30 @@ def _build_kernel_slim(*, n_tri_rows: int, n_inst: int, width: int,
     return kernel
 
 
-def _call_planes(kernel_args, size, *, scale, interpret):
+def _call_planes(kernel_args, size, *, scale, interpret, mesh=None):
     """One pallas_call producing the 16 G-buffer/albedo planes at `size`.
     scale=1: plane[y,x] is pixel (y,x); scale=2: pixel (2y+s, 2x+s) with s
-    the parity offset in params[_P_OFF]."""
+    the parity offset in params[_P_OFF]. With a mesh, the call runs as a
+    shard_map island over the row axis (pixel-local: no halo), each shard
+    generating rays for its own global rows via params[_P_ROW0]."""
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from hikari_tpu.parallel import shard as _sh
+
+        n = _sh.nshards(mesh)
+        h, w = size
+        hl = -(-h // n)
+
+        def local(params, tris, attrs, motion, mats):
+            idx = jax.lax.axis_index(_sh.AXIS)
+            p2 = params.at[0, _P_ROW0].set((idx * hl).astype(jnp.float32))
+            return _call_planes((p2, tris, attrs, motion, mats), (hl, w),
+                                scale=scale, interpret=interpret)
+
+        outs = _sh.smap(local, mesh, in_specs=(P(),) * 5,
+                        out_specs=[P(_sh.AXIS, None)] * 16)(*kernel_args)
+        return [o[:h] for o in outs]
     params, tris, attrs, motion, mats = kernel_args
     h, w = size
     bh = _block_h(w)
@@ -455,9 +479,9 @@ def _assemble(planes, *, grad_scale=1.0):
     return gbuf, albedo
 
 
-@partial(jax.jit, static_argnames=("size", "dec_size", "interpret"))
+@partial(jax.jit, static_argnames=("size", "dec_size", "interpret", "mesh"))
 def prepass_fused(scene, view, prev_view, jitter, size, dec_size=None,
-                  dec_parity=None, interpret: bool = False):
+                  dec_parity=None, interpret: bool = False, mesh=None):
     """Returns (gbuf dict matching ops/prepass.py's contract, albedo
     [H,W,4]). jitter: [2] pixel jitter (frame_jitter).
 
@@ -497,19 +521,20 @@ def prepass_fused(scene, view, prev_view, jitter, size, dec_size=None,
     params = row0[None, :]
 
     kernel_args = (params, tris, attrs, motion, mats)
-    planes = _call_planes(kernel_args, size, scale=1, interpret=interpret)
+    planes = _call_planes(kernel_args, size, scale=1, interpret=interpret,
+                          mesh=mesh)
     gbuf, albedo = _assemble(planes)
     if dec_size is None:
         return gbuf, albedo
     dec_planes = _call_planes(kernel_args, dec_size, scale=2,
-                              interpret=interpret)
+                              interpret=interpret, mesh=mesh)
     g_dec, albedo_dec = _assemble(dec_planes, grad_scale=2.0)
     return gbuf, albedo, g_dec, albedo_dec
 
 
-@partial(jax.jit, static_argnames=("size", "dec_size", "interpret"))
+@partial(jax.jit, static_argnames=("size", "dec_size", "interpret", "mesh"))
 def prepass_fused_quads(scene, view, prev_view, jitter, size, dec_size,
-                        interpret: bool = False):
+                        interpret: bool = False, mesh=None):
     """SMAA TU4X decimation context: for each stride-2 parity quad (a, b)
     the depth / velocity.xy / instance planes at dec_size, computed by
     tracing rays at the decimated coords (2y+a, 2x+b) — identical values
@@ -540,34 +565,60 @@ def prepass_fused_quads(scene, view, prev_view, jitter, size, dec_size,
     row0 = row0.at[_P_WH].set(float(w)).at[_P_WH + 1].set(float(h))
 
     dh, dw = dec_size
-    bh = _block_h(dw)
-    hp = -(-dh // bh) * bh
-    kernel = _build_kernel_slim(n_tri_rows=tris.shape[0], n_inst=n_inst,
-                                width=dw, block_h=bh)
 
-    def tab_spec(r):
-        return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    def call_slim(params, tris, motion, rows):
+        bh = _block_h(dw)
+        hp = -(-rows // bh) * bh
 
-    ray_spec = pl.BlockSpec((bh, dw), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+        def tab_spec(r):
+            return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        ray_spec = pl.BlockSpec((bh, dw), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = _build_kernel_slim(n_tri_rows=tris.shape[0],
+                                    n_inst=motion.shape[0],
+                                    width=dw, block_h=bh)
+        outs = pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(hp // bh,),
+            in_specs=[tab_spec(1), tab_spec(tris.shape[0]),
+                      tab_spec(motion.shape[0])],
+            out_specs=[ray_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((hp, dw), jnp.float32)] * 4,
+        )(params, tris, motion)
+        return [o[:rows] for o in outs]
+
     out = {}
     for a in (0, 1):
         for b in (0, 1):
             params = (row0.at[_P_OFF].set(float(a))
                       .at[_P_OFFX].set(float(b)))[None, :]
-            dep, velu, velv, inst = pl.pallas_call(
-                kernel,
-                interpret=interpret,
-                grid=(hp // bh,),
-                in_specs=[tab_spec(1), tab_spec(tris.shape[0]),
-                          tab_spec(n_inst)],
-                out_specs=[ray_spec] * 4,
-                out_shape=[jax.ShapeDtypeStruct((hp, dw), jnp.float32)] * 4,
-            )(params, tris, motion)
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from hikari_tpu.parallel import shard as _sh
+
+                n = _sh.nshards(mesh)
+                hl = -(-dh // n)
+
+                def local(params, tris, motion, hl=hl):
+                    idx = jax.lax.axis_index(_sh.AXIS)
+                    p2 = params.at[0, _P_ROW0].set(
+                        (idx * hl).astype(jnp.float32))
+                    return call_slim(p2, tris, motion, hl)
+
+                dep, velu, velv, inst = [
+                    o[:dh] for o in _sh.smap(
+                        local, mesh, in_specs=(P(), P(), P()),
+                        out_specs=[P(_sh.AXIS, None)] * 4)(
+                            params, tris, motion)]
+            else:
+                dep, velu, velv, inst = call_slim(params, tris, motion, dh)
             out[(a, b)] = {
-                "depth": dep[:dh],
-                "velocity": jnp.stack([velu[:dh], velv[:dh]], axis=-1),
-                "instance": inst[:dh],
+                "depth": dep,
+                "velocity": jnp.stack([velu, velv], axis=-1),
+                "instance": inst,
             }
     return out

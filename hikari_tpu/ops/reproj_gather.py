@@ -104,18 +104,20 @@ def _make_kernel(n_src: int, fp: int):
     return kernel
 
 
-def _group_pack(piy, pix, ylo, yhi, xlo, xhi, hp, wp):
-    """Per-group window origin + tap code. Valid source coords are
-    [ylo, yhi) x [xlo, xhi). Returns (pack [G] i32, code [hp, wp] i32)."""
+def _group_pack(piy, pix, yhi, xhi, hp, wp, hs_p, ws_p):
+    """Per-group window origin + tap code. piy/pix are SOURCE coords
+    (already margin-shifted into the padded source array of hs_p x ws_p);
+    the output grid is hp x wp. Valid source coords are [0, yhi) x
+    [0, xhi) (the real data region inside the padded source). Returns
+    (pack [G] i32, code [hp, wp] i32)."""
     gy, gx = hp // GROUP_H, wp // GROUP_W
     yy = jnp.arange(hp, dtype=jnp.int32)[:, None]
     xx = jnp.arange(wp, dtype=jnp.int32)[None, :]
-    dy = piy - yy                     # per-pixel integer offset
+    dy = piy - yy                     # per-pixel integer offset (+margin)
     dx = pix - xx
-    # group means over REAL pixels only: groups straddling the zero margin
-    # would otherwise average in the padding's bogus offsets and reject
-    # their real pixels
-    live = ((yy >= ylo) & (yy < yhi) & (xx >= xlo) & (xx < xhi)).astype(
+    # group means over pixels whose source is REAL: padded/rejected
+    # sources would otherwise drag the window origin off the live band
+    live = ((piy >= 0) & (piy < yhi) & (pix >= 0) & (pix < xhi)).astype(
         jnp.float32)
 
     def gmean(v):
@@ -130,9 +132,9 @@ def _group_pack(piy, pix, ylo, yhi, xlo, xhi, hp, wp):
     gx0 = jnp.arange(gx, dtype=jnp.int32)[None, :] * GROUP_W
     # center the slack (YT-1-2R extra rows / XT-1-2R extra cols) around
     # the mean so both residual signs keep full +-R coverage
-    row0 = jnp.clip(gy0 + rdy - R - (YT - 1 - 2 * R) // 2, 0, hp - WIN_R)
+    row0 = jnp.clip(gy0 + rdy - R - (YT - 1 - 2 * R) // 2, 0, hs_p - WIN_R)
     xw0 = gx0 + rdx - R - (XT - 1 - 2 * R) // 2
-    cx = jnp.clip(xw0 // CHUNK, 0, wp // CHUNK - NCK)
+    cx = jnp.clip(xw0 // CHUNK, 0, ws_p // CHUNK - NCK)
     o = jnp.clip(xw0 - cx * CHUNK, 0, _O_MAX)
     x0 = cx * CHUNK + o
     pack = (row0 * 16 + cx) * CHUNK + o                        # [gy, gx]
@@ -144,39 +146,39 @@ def _group_pack(piy, pix, ylo, yhi, xlo, xhi, hp, wp):
     dyi = piy - row0_e - py
     dxi = pix - x0_e - px
     ok = ((dyi >= 0) & (dyi < YT) & (dxi >= 0) & (dxi < XT)
-          & (piy >= ylo) & (piy < yhi) & (pix >= xlo) & (pix < xhi))
+          & (live > 0.0))
     code = jnp.where(ok, dyi * XT + dxi, -1)
     return pack.reshape(-1), code
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def reproj_gather(sources: Sequence, piy, pix,
-                  interpret: bool = False) -> List:
-    """sources: list of [h, F, w] f32 channel-plane tensors (same h/F/w).
-    piy/pix: [h, w] i32 source coords. Returns list of [h, F, w] with
-    out[y, :, x] = src[piy, :, pix] for in-band pixels, zeros otherwise."""
+def _gather_impl(sources: Sequence, piy, pix, interpret: bool) -> List:
+    """sources: [hs, F, w] channel-plane tensors; piy/pix: [h, w] i32
+    source coords in [0, hs) x [0, w) (out-of-range rejects). Output
+    [h, F, w]; h may differ from hs (sharded local calls pass halo-extended
+    sources)."""
     n_src = len(sources)
-    h, fp, w = sources[0].shape
-    if not interpret:
-        interpret = not any(d.platform != "cpu" for d in jax.devices())
-    # zero margin so window origins never clamp (clamped windows would
-    # misalign the static tap range and reject whole edge groups under
-    # motion); sources are clipped to [0,h)x[0,w) by the caller, so the
-    # margin is never selected by an in-band tap
+    hs, fp, w = sources[0].shape
+    h = piy.shape[0]
+    # zero margins on the SOURCE so window origins never clamp (clamped
+    # windows would misalign the static tap range and reject whole edge
+    # groups under motion)
     my, mx = GROUP_H, CHUNK
-    hp = -(-(h + 2 * my) // GROUP_H) * GROUP_H
-    wp = -(-(w + 2 * mx) // GROUP_W) * GROUP_W
+    hs_p = hs + 2 * my
+    ws_p = -(-(w + 2 * mx) // CHUNK) * CHUNK
     srcs = []
     for s in sources:
-        assert s.shape == (h, fp, w)
-        sp = jnp.pad(s, ((my, hp - h - my), (0, 0), (mx, wp - w - mx)))
+        assert s.shape == (hs, fp, w)
+        sp = jnp.pad(s, ((my, my), (0, 0), (mx, ws_p - w - mx)))
         # 128-lane x-chunk view (free: splits the minor dim)
-        srcs.append(sp.reshape(hp, fp, wp // CHUNK, CHUNK))
-    piy = jnp.pad(piy.astype(jnp.int32) + my, ((my, hp - h - my),
-                                               (mx, wp - w - mx)))
-    pix = jnp.pad(pix.astype(jnp.int32) + mx, ((my, hp - h - my),
-                                               (mx, wp - w - mx)))
-    pack, code = _group_pack(piy, pix, my, h + my, mx, w + mx, hp, wp)
+        srcs.append(sp.reshape(hs_p, fp, ws_p // CHUNK, CHUNK))
+    # output grid padded to group multiples
+    hp = -(-h // GROUP_H) * GROUP_H
+    wp = -(-w // GROUP_W) * GROUP_W
+    piy = jnp.pad(piy.astype(jnp.int32) + my, ((0, hp - h), (0, wp - w)),
+                  constant_values=-1)
+    pix = jnp.pad(pix.astype(jnp.int32) + mx, ((0, hp - h), (0, wp - w)),
+                  constant_values=-1)
+    pack, code = _group_pack(piy, pix, my + hs, mx + w, hp, wp, hs_p, ws_p)
     gy, gx = hp // GROUP_H, wp // GROUP_W
     G = gy * gx
 
@@ -201,4 +203,56 @@ def reproj_gather(sources: Sequence, piy, pix,
         out_shape=[jax.ShapeDtypeStruct((hp, fp, wp), jnp.float32)] * n_src,
         interpret=interpret,
     )(pack, code, *srcs)
-    return [o[my:my + h, :, mx:mx + w] for o in outs]
+    return [o[:h, :, :w] for o in outs]
+
+
+# rows of neighbor-shard context exchanged under manual sharding; sources
+# whose reprojection strays further reject (same contract as out-of-band)
+SHARD_HALO = 16
+
+
+@partial(jax.jit, static_argnames=("interpret", "mesh"))
+def reproj_gather(sources: Sequence, piy, pix,
+                  interpret: bool = False, mesh=None) -> List:
+    """sources: list of [h, F, w] f32 channel-plane tensors (same h/F/w).
+    piy/pix: [h, w] i32 source coords. Returns list of [h, F, w] with
+    out[y, :, x] = src[piy, :, pix] for in-band pixels, zeros otherwise.
+
+    With a mesh: runs as a shard_map island over rows — each shard gathers
+    from its own block plus SHARD_HALO ppermuted neighbor rows."""
+    if not interpret:
+        interpret = not any(d.platform != "cpu" for d in jax.devices())
+    if mesh is None:
+        return _gather_impl(sources, piy, pix, interpret)
+
+    from jax.sharding import PartitionSpec as P
+
+    from hikari_tpu.parallel import shard as _sh
+
+    n = _sh.nshards(mesh)
+    h, fp, w = sources[0].shape
+    hl = -(-h // n)
+    hp = hl * n
+    if hp > h:
+        sources = [jnp.pad(s, ((0, hp - h), (0, 0), (0, 0)))
+                   for s in sources]
+        piy = jnp.pad(piy, ((0, hp - h), (0, 0)))
+        pix = jnp.pad(pix, ((0, hp - h), (0, 0)))
+
+    halo = min(SHARD_HALO, hl)
+
+    def local(piy, pix, *srcs):
+        idx = jax.lax.axis_index(_sh.AXIS)
+        base = idx * hl - halo
+        srcs_h = [_sh.halo_rows(s, halo, halo, n, axis=0)
+                  for s in srcs]
+        piy_l = piy.astype(jnp.int32) - base
+        return _gather_impl(srcs_h, piy_l, pix, interpret)
+
+    outs = _sh.smap(
+        local, mesh,
+        in_specs=(P(_sh.AXIS, None), P(_sh.AXIS, None))
+        + (P(_sh.AXIS, None, None),) * len(sources),
+        out_specs=[P(_sh.AXIS, None, None)] * len(sources))(
+            piy, pix, *sources)
+    return [o[:h] for o in outs]

@@ -61,6 +61,8 @@ def shard_frame(frame_fn, mesh: Mesh, scene, view, frame, noise, carry,
     by rows and inserts halo collectives for the stencil/reprojection
     gathers.
     """
+    from hikari_tpu.parallel import shard as _shard
+
     in_shardings = (
         replicated(mesh, scene),
         replicated(mesh, view),
@@ -68,7 +70,16 @@ def shard_frame(frame_fn, mesh: Mesh, scene, view, frame, noise, carry,
         replicated(mesh, noise),
         pixel_sharding(mesh, carry, row_sizes),
     )
-    jfn = jax.jit(frame_fn, in_shardings=in_shardings)
+
+    def fn_meshed(*a):
+        # trace-time mesh context: the fused Pallas kernels read it and
+        # run as shard_map islands (parallel/shard.py) — GSPMD cannot
+        # partition a custom-call, so without this a real multi-chip run
+        # would all-gather every kernel input and replicate the work
+        with _shard.row_mesh(mesh):
+            return frame_fn(*a)
+
+    jfn = jax.jit(fn_meshed, in_shardings=in_shardings)
     args = jax.tree.map(jax.device_put, (scene, view, frame, noise, carry),
                         in_shardings)
     return jfn, args

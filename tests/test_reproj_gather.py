@@ -43,6 +43,27 @@ def test_reproj_gather_matches_take(pan):
         assert match[interior].mean() > 0.93, (pan, match[interior].mean())
 
 
+def test_reproj_gather_sharded_matches_single():
+    """The shard_map island (row blocks + SHARD_HALO ppermuted rows) must
+    reproduce the single-device gather for motion within the halo."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from hikari_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    h, w, F = 64, 256, 16
+    src = jnp.asarray(rng.normal(size=(h, F, w)).astype(np.float32))
+    piy, pix = _field(h, w, -5.3, 9.1, grad=0.001)
+    ref, = reproj_gather([src], jnp.asarray(piy), jnp.asarray(pix))
+    got, = reproj_gather([src], jnp.asarray(piy), jnp.asarray(pix),
+                         mesh=make_mesh(8))
+    # sharded group boundaries differ (8-row shards regroup the mean
+    # windows identically here since groups are 8 rows) -> expect equality
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_reproj_gather_static_identity_is_exact():
     """Zero motion: every pixel in-band -> bit-exact everywhere."""
     rng = np.random.default_rng(1)
