@@ -161,7 +161,71 @@ def warp_multi(src, sy, sx,
     for color/position/velocity packs; keep f32 when the pack carries
     instance IDS (bf16 is exact only to 256) or other exact integers.
     Returns a list of [h, w, ch_hi-ch_lo] f32 arrays.
-    """
+
+    Under an active row mesh (parallel/shard.py) the call runs as a
+    shard_map island: each shard packs and warps its own rows, with
+    _SHARD_HALO_BLOCKS ppermuted panel blocks of vertical context;
+    reprojection beyond the halo clamps to the window edge exactly like
+    the single-chip out-of-window contract."""
+    from hikari_tpu.parallel import shard as _sh
+
+    mesh = _sh.active_mesh()
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        n = _sh.nshards(mesh)
+        H, W, F = src.shape
+        h, w = sy.shape
+        # output and source shards must cover PROPORTIONAL row ranges:
+        # shard i's output rows [i*hh/n, ...) sample sources around
+        # r*(those rows), which must lie in its source block [i*Hp/n, ...)
+        r = H // h
+        if r * h != H:
+            # non-integral source/output row ratio: keep the call
+            # replicated (correct, unscaled) rather than mis-shard it
+            return _warp_core(src, sy, sx, reduces, dtype)
+        hh = -(-h // (n * GROUP)) * (n * GROUP)
+        Hp = hh * r
+        if hh > h:
+            sy = jnp.pad(sy, ((0, hh - h), (0, 0)), mode="edge")
+            sx = jnp.pad(sx, ((0, hh - h), (0, 0)), mode="edge")
+        if Hp > H:
+            src = jnp.pad(src, ((0, Hp - H), (0, 0), (0, 0)), mode="edge")
+        Hl = Hp // n
+        halo_b = min(_SHARD_HALO_BLOCKS, Hl // 8)
+
+        def local(src_l, sy_l, sx_l):
+            idx = jax.lax.axis_index(_sh.AXIS)
+            # window origins are computed in GLOBAL coords and rebased, so
+            # in-halo windows land exactly where the single-chip call puts
+            # them (incl. global edge clips); only out-of-halo motion
+            # clamps differently (the out-of-window reject contract)
+            block_base = idx * (Hl // 8) - halo_b
+            # the global clip bound uses the ORIGINAL source extent (the
+            # proportionality padding above must not widen the reachable
+            # window range vs the single-chip call)
+            outs = _warp_core(src_l, jnp.clip(sy_l, 0.0, H - 1.0), sx_l,
+                              reduces, dtype, halo_blocks=halo_b,
+                              n_shards=n, block_base=block_base,
+                              hb_glob=max(-(-H // 8), WB))
+            return outs
+
+        outs = _sh.smap(
+            local, mesh,
+            in_specs=(P(_sh.AXIS, None, None), P(_sh.AXIS, None),
+                      P(_sh.AXIS, None)),
+            out_specs=[P(_sh.AXIS, None, None)] * len(reduces))(
+                src, sy, sx)
+        return [o[:h] for o in outs]
+    return _warp_core(src, sy, sx, reduces, dtype)
+
+
+# vertical panel blocks (8 rows each) exchanged per side under sharding
+_SHARD_HALO_BLOCKS = 4
+
+
+def _warp_core(src, sy, sx, reduces, dtype, halo_blocks: int = 0,
+               n_shards: int = 1, block_base=None, hb_glob=None):
     H, W, F = src.shape
     assert F <= FP, "pack at most 16 channels per warp source"
     h, w = sy.shape
@@ -173,7 +237,10 @@ def warp_multi(src, sy, sx,
     if (hh, ww) != (h, w):
         sy = jnp.pad(sy, ((0, hh - h), (0, ww - w)), mode="edge")
         sx = jnp.pad(sx, ((0, hh - h), (0, ww - w)), mode="edge")
-    sy = jnp.clip(sy, 0.0, H - 1.0)
+    # sharded local calls pass GLOBAL sy (already clipped); single-chip
+    # clips here
+    if block_base is None:
+        sy = jnp.clip(sy, 0.0, H - 1.0)
     sx = jnp.clip(sx, 0.0, W - 1.0)
     gy, gx = hh // GROUP, ww // GROUP
     G0 = gy * gx
@@ -192,6 +259,11 @@ def warp_multi(src, sy, sx,
     if pad_h or pad_w:
         srcp = jnp.pad(srcp, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
     p = srcp.reshape(hb, 8, wbt, 8 * FP).transpose(0, 2, 1, 3)
+    if halo_blocks:
+        from hikari_tpu.parallel import shard as _sh
+
+        p = _sh.halo_rows(p, halo_blocks, halo_blocks, n_shards, axis=0)
+        hb = p.shape[0]
     # tiny sources: guarantee at least WB blocks each way (edge clones)
     if hb < WB:
         p = jnp.concatenate([p] + [p[-1:]] * (WB - hb), axis=0)
@@ -205,12 +277,19 @@ def warp_multi(src, sy, sx,
     sx_g = sx.reshape(gy, GROUP, gx, GROUP).transpose(0, 2, 1, 3)
     y_mean = sy_g.mean(axis=(2, 3))
     x_mean = sx_g.mean(axis=(2, 3))
-    by = jnp.clip(jnp.round((y_mean - WROWS / 2) / 8).astype(jnp.int32),
-                  0, max(p.shape[0] - WB, 0))
+    if block_base is None:
+        by = jnp.clip(jnp.round((y_mean - WROWS / 2) / 8).astype(jnp.int32),
+                      0, max(p.shape[0] - WB, 0))
+        by_origin = by
+    else:
+        by_g = jnp.clip(jnp.round((y_mean - WROWS / 2) / 8).astype(jnp.int32),
+                        0, hb_glob - WB)
+        by = jnp.clip(by_g - block_base, 0, max(p.shape[0] - WB, 0))
+        by_origin = by + block_base  # global row-block of the window top
     bx = jnp.clip(jnp.round((x_mean - WROWS / 2) / 8).astype(jnp.int32),
                   0, max(p.shape[1] - WB, 0))
     npix = GROUP * GROUP
-    ly = (sy_g - (by * 8)[:, :, None, None]).reshape(G0, npix)
+    ly = (sy_g - (by_origin * 8)[:, :, None, None]).reshape(G0, npix)
     lx = (sx_g - (bx * 8)[:, :, None, None]).reshape(G0, npix)
     byx = (by * 4096 + bx).reshape(G0)
     if G != G0:
