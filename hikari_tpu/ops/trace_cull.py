@@ -86,29 +86,40 @@ def _untile_2d(x, h, w):
     return xp[:h, :w].reshape((h * w,) + x.shape[4:])
 
 
-def _octant_order(rd, n, h, w):
-    """Permutation grouping rays by (screen tile, direction octant).
+def _octant_order(rd, n, h, w, ro=None, sb_min=None, sb_max=None):
+    """Permutation grouping rays by (direction octant, origin locality).
 
     Incoherent ray sets (indirect bounces, light.wgsl:1396-1399) span all
     direction signs inside a screen tile, which makes every slab axis
-    unbounded and defeats the interval cull. Sorting by tile x octant gives
-    every 1024-ray packet sign-definite directions and a tight origin box —
-    one [N] sort + row permutations, ~100x cheaper than the un-culled sweep.
+    unbounded and defeats the interval cull. Octant-major sorting gives
+    every 1024-ray packet sign-definite directions; within an octant the
+    rays order by the 21-bit Morton code of their ORIGIN (when given) so
+    each packet also has a tight 3-D origin box — bounce origins from one
+    screen tile can straddle depth discontinuities, which made the
+    screen-tile secondary key keep whole-scene cluster lists (the round-2
+    489 ns/ray incoherent probe).
     """
     octant = ((rd[:, 0] < 0).astype(jnp.int32)
               + 2 * (rd[:, 1] < 0).astype(jnp.int32)
               + 4 * (rd[:, 2] < 0).astype(jnp.int32))
-    if h is not None:
+    if ro is not None and sb_min is not None:
+        extent = jnp.maximum(sb_max - sb_min, 1e-6)
+        q = jnp.clip(((ro - sb_min) / extent * 127.0).astype(jnp.int32),
+                     0, 127)
+        sub = jnp.zeros((n,), jnp.int32)
+        for b in range(7):
+            for a in range(3):
+                sub = sub | (((q[:, a] >> b) & 1) << (3 * b + a))
+        key = octant * (1 << 21) + sub
+    elif h is not None:
         pix = jnp.arange(n, dtype=jnp.int32)
         tw = -(-w // TILE_W)
         tile_id = (pix // w // TILE_H) * tw + (pix % w) // TILE_W
-        n_tiles = (-(-h // TILE_H)) * tw
+        key = octant * ((-(-h // TILE_H)) * tw) + tile_id
     else:
-        tile_id = jnp.arange(n, dtype=jnp.int32) // TILE_RAYS
-        n_tiles = -(-n // TILE_RAYS)
-    # octant-MAJOR: every 1024-ray packet then sits inside one octant run
-    # (sign-definite directions), ordered by screen tile within it
-    order = jnp.argsort(octant * n_tiles + tile_id)
+        key = octant * (-(-n // TILE_RAYS)) + (
+            jnp.arange(n, dtype=jnp.int32) // TILE_RAYS)
+    order = jnp.argsort(key)
     inv = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
     return order, inv
@@ -570,7 +581,10 @@ def cull_trace(scene, ro, rd, max_t, exclude_instance=None,
     if incoherent:
         h, w = shape2d if (shape2d is not None
                            and shape2d[0] * shape2d[1] == n) else (None, None)
-        order, inv_perm = _octant_order(rd, n, h, w)
+        order, inv_perm = _octant_order(
+            rd, n, h, w, ro=ro,
+            sb_min=jnp.min(scene["cl_aabb"][:, 0:3], axis=0),
+            sb_max=jnp.max(scene["cl_aabb"][:, 3:6], axis=0))
         ro = jnp.take(ro, order, axis=0)
         rd = jnp.take(rd, order, axis=0)
         max_t = jnp.take(jnp.asarray(max_t, jnp.float32)
