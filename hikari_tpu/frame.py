@@ -202,6 +202,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         prev_rs = [rsv.empty_reservoir(light_size) for _ in range(3)]
         gathered_chans = [c for c in range(3)
                           if chan_active[c] and settings.temporal_reuse]
+        gathered_planes = {}
         if gathered_chans:
             from hikari_tpu.ops.reproj_gather import reproj_gather
 
@@ -210,6 +211,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                                  reproj["piy"], reproj["pix"], mesh=mesh)
             for j, c in enumerate(gathered_chans):
                 p = jnp.where(reproj["in_strict"][:, None, :], outs[j], 0.0)
+                gathered_planes[c] = p
                 r = rsv.unpack_reservoir_planes(p)
                 r["visible_instance"] = jnp.where(
                     reproj["in_strict"], r["visible_instance"], -1)
@@ -232,7 +234,8 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 temporal_reuse=settings.temporal_reuse, track_de=track_de,
                 track_ind=track_ind,
                 tracer_kind=getattr(tracer, "kind", ""),
-                has_sun=has_sun, bounces=settings.indirect_bounces))
+                has_sun=has_sun, bounces=settings.indirect_bounces,
+                ckb=ckb))
         deferred = []
         spatial_de = carry["spatial_de"]
         spatial_ind = carry["spatial_indirect"]
@@ -242,13 +245,25 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         d_render = d_var = e_render = e_var = i_render = i_var = None
         rh2, rw2 = render_size
         if use_fused:
+            reuse = settings.temporal_reuse
+            prev_planes = ([gathered_planes[c] for c in range(3)
+                            if chan_active[c]] if reuse else None)
             fl = _lf.fused_lighting(
                 scene, g_l, view, frame, rand_l, has_sun=has_sun,
                 num_emissives=num_emissives,
-                bounces=settings.indirect_bounces, render_size=light_size)
+                bounces=settings.indirect_bounces, render_size=light_size,
+                temporal=reuse, prev_planes=prev_planes)
+            if reuse:
+                if has_sun:
+                    d_temporal_packed = fl["d_packed"]
+                if num_emissives > 0:
+                    e_temporal_packed = fl["e_packed"]
+                if settings.indirect_bounces > 0:
+                    i_temporal_packed = fl["i_packed"]
             zero_l = jnp.zeros(light_size)
             if has_sun:
-                deferred.append(("d", fl["d_render"], zero_l))
+                deferred.append(("d", fl["d_render"],
+                                 fl["d_var"] if reuse else zero_l))
             else:
                 # deterministic surface-emission term stays full-res
                 # (emissive_surface_channel; see kernel docstring)
@@ -256,12 +271,14 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                                                     render_size)
                 d_render, d_var = d["render"], d["variance"]
             if num_emissives > 0:
-                deferred.append(("e", fl["e_render"], zero_l))
+                deferred.append(("e", fl["e_render"],
+                                 fl["e_var"] if reuse else zero_l))
             else:
                 e_render = jnp.zeros((rh2, rw2, 4))
                 e_var = jnp.zeros((rh2, rw2))
             if settings.indirect_bounces > 0:
-                deferred.append(("i", fl["i_render"], zero_l))
+                deferred.append(("i", fl["i_render"],
+                                 fl["i_var"] if reuse else zero_l))
             else:
                 i_render = jnp.zeros((rh2, rw2, 4))
                 i_var = jnp.zeros((rh2, rw2))

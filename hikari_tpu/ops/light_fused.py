@@ -75,20 +75,29 @@ _P_COS_SOLAR = 9
 _P_CAM = 10        # camera world position xyz
 _P_MAX_IND = 13    # max_indirect_luminance
 _P_ADV = 14        # frame_number * GOLDEN_RATIO (rand advance, un-modded)
+_P_MAXCNT = 15     # max_temporal_reuse_count
 _P_EM = 16         # per-emissive stride-10 block (leaf-order):
 #                    cx cy cz radius inst alias_off alias_count area tri_off pad
 _EM_STRIDE = 10
 # row 1: alias slots (prob, alias) pairs
+# row 2 (temporal reuse): [0] direct-validation flag (0/1 this frame),
+#                         [1] emissive-validation flag
 
 
 def fused_eligible(scene, *, no_texture: bool, num_emissives: int,
                    temporal_reuse: bool, track_de: bool, track_ind: bool,
                    tracer_kind: str, has_sun: bool = True,
-                   bounces: int = 1) -> bool:
+                   bounces: int = 1, ckb: bool = False) -> bool:
     """Static gate for the mega-kernel (the analog of a pipeline-key
-    specialization): small-scene brute-force class, no reservoir reuse, no
-    textures (texture fetches would need per-lane atlas gathers)."""
-    if temporal_reuse or track_de or track_ind or not no_texture:
+    specialization): small-scene brute-force class, no textures (texture
+    fetches would need per-lane atlas gathers), no spatial reuse (its
+    cross-pixel taps/scatters are a different pass). Temporal reuse IS
+    covered (in-kernel ReSTIR), except under checkerboard lighting where
+    the reservoir carries live at full res while the kernel runs on the
+    compressed domain."""
+    if track_de or track_ind or not no_texture:
+        return False
+    if temporal_reuse and ckb:
         return False
     if not (has_sun or num_emissives > 0 or bounces > 0):
         return False  # nothing for the kernel to emit
@@ -150,12 +159,184 @@ def _pack_params(scene, view, frame, n_em):
                 jnp.stack([em[e, 4], em[e, 5], em[e, 6], em[e, 7], em[e, 8],
                            em[e, 9], em[e, 10], em[e, 11], tri_off[e], 0.0]),
                 (o,))
+    row0 = row0.at[_P_MAXCNT].set(
+        jnp.minimum(frame["max_temporal_reuse_count"], 1e30))
     row1 = z
     if n_em > 0:
         a = scene["alias_packed"]                # [A,2] (prob, alias)
         flat = a.reshape(-1)
         row1 = lax.dynamic_update_slice(row1, flat, (0,))
-    return jnp.stack([row0, row1])               # [2,128]
+    row2 = z
+    fnum = frame["number"]
+    d_iv = jnp.maximum(frame["direct_validate_interval"], 1)
+    e_iv = jnp.maximum(frame["emissive_validate_interval"], 1)
+    row2 = row2.at[0].set(((fnum % d_iv) == 0).astype(jnp.float32))
+    row2 = row2.at[1].set(((fnum % e_iv) == 0).astype(jnp.float32))
+    return jnp.stack([row0, row1, row2])         # [3,128]
+
+
+# ---------------------------------------------------------------------------
+# in-kernel reservoir bit packing (ops/reservoir.py layout, u32 math —
+# width-changing bitcasts are not available in Mosaic, so the bf16 pairs
+# use an explicit round-to-nearest-even on the raw bits, which matches
+# XLA's f32->bf16 cast for all finite values)
+# ---------------------------------------------------------------------------
+
+def _bits(f):
+    return lax.bitcast_convert_type(f, jnp.uint32)
+
+
+def _fbits(u):
+    return lax.bitcast_convert_type(u.astype(jnp.uint32), jnp.float32)
+
+
+def _rne16(f):
+    u = _bits(f)
+    return (u + 0x7FFF + ((u >> 16) & 1)) >> 16
+
+
+def _kbf16_pair(a, b):
+    return _fbits(_rne16(a) | (_rne16(b) << 16))
+
+
+def _kbf16_unpair(lane):
+    u = _bits(lane)
+    return _fbits((u & 0xFFFF) << 16), _fbits(u & jnp.uint32(0xFFFF0000))
+
+
+def _kunorm16_pair(a, b):
+    ua = jnp.round(jnp.clip(a, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+    ub = jnp.round(jnp.clip(b, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+    return _fbits(ua | (ub << 16))
+
+
+def _kunorm16_unpair(lane):
+    u = _bits(lane)
+    return ((u & 0xFFFF).astype(jnp.float32) / 65535.0,
+            (u >> 16).astype(jnp.float32) / 65535.0)
+
+
+def _ksnorm8_vec(n3, extra_u8):
+    def enc(v):
+        return jnp.round((jnp.clip(v, -1.0, 1.0) * 0.5 + 0.5)
+                         * 255.0).astype(jnp.uint32)
+
+    word = (enc(n3[0]) | (enc(n3[1]) << 8) | (enc(n3[2]) << 16)
+            | (extra_u8.astype(jnp.uint32) << 24))
+    return _fbits(word)
+
+
+def _ksnorm8_unvec(lane):
+    u = _bits(lane)
+
+    def dec(shift):
+        return ((u >> shift) & 0xFF).astype(jnp.float32) / 255.0 * 2.0 - 1.0
+
+    return (dec(0), dec(8), dec(16)), (u >> 24).astype(jnp.float32)
+
+
+def _unpack_prev(ref):
+    """Gathered prev-reservoir planes ([bh,16,w] block ref) -> dict of
+    [bh,w] planes (ops/reservoir.py unpack, u32 math)."""
+    t = lambda i: ref[:, i, :]
+    rad01 = _kbf16_unpair(t(8))
+    rad23 = _kbf16_unpair(t(9))
+    rnd01 = _kunorm16_unpair(t(10))
+    rnd23 = _kunorm16_unpair(t(11))
+    (vnx, vny, vnz), life = _ksnorm8_unvec(t(12))
+    (snx, sny, snz), sflag = _ksnorm8_unvec(t(13))
+    count, w = _kbf16_unpair(t(14))
+    w_sum, w2_sum = _kbf16_unpair(t(15))
+    return {
+        "vpx": t(0), "vpy": t(1), "vpz": t(2), "vpd": t(3),
+        "spx": t(4), "spy": t(5), "spz": t(6),
+        "spw": (sflag > 127.0).astype(jnp.float32),
+        "vinst": t(7),
+        "rad_r": rad01[0], "rad_g": rad01[1],
+        "rad_b": rad23[0], "rad_a": rad23[1],
+        "rnd0": rnd01[0], "rnd1": rnd01[1],
+        "rnd2": rnd23[0], "rnd3": rnd23[1],
+        "vnx": vnx, "vny": vny, "vnz": vnz, "life": life,
+        "snx": snx, "sny": sny, "snz": snz,
+        "count": count, "w": w, "w_sum": w_sum, "w2_sum": w2_sum,
+    }
+
+
+def _pack_out(ref, r):
+    """Inverse of _unpack_prev into a [bh,16,w] output block ref."""
+    ref[:, 0, :] = r["vpx"]
+    ref[:, 1, :] = r["vpy"]
+    ref[:, 2, :] = r["vpz"]
+    ref[:, 3, :] = r["vpd"]
+    ref[:, 4, :] = r["spx"]
+    ref[:, 5, :] = r["spy"]
+    ref[:, 6, :] = r["spz"]
+    ref[:, 7, :] = r["vinst"]
+    ref[:, 8, :] = _kbf16_pair(r["rad_r"], r["rad_g"])
+    ref[:, 9, :] = _kbf16_pair(r["rad_b"], r["rad_a"])
+    ref[:, 10, :] = _kunorm16_pair(r["rnd0"], r["rnd1"])
+    ref[:, 11, :] = _kunorm16_pair(r["rnd2"], r["rnd3"])
+    ref[:, 12, :] = _ksnorm8_vec(
+        (r["vnx"], r["vny"], r["vnz"]), jnp.clip(r["life"], 0.0, 255.0))
+    ref[:, 13, :] = _ksnorm8_vec(
+        (r["snx"], r["sny"], r["snz"]),
+        (r["spw"] > 0.5).astype(jnp.float32) * 255.0)
+    ref[:, 14, :] = _kbf16_pair(r["count"], r["w"])
+    ref[:, 15, :] = _kbf16_pair(r["w_sum"], r["w2_sum"])
+
+
+_RSV_SAMPLE_KEYS = ("rad_r", "rad_g", "rad_b", "rad_a",
+                    "rnd0", "rnd1", "rnd2", "rnd3",
+                    "vpx", "vpy", "vpz", "vpd",
+                    "vnx", "vny", "vnz", "vinst",
+                    "spx", "spy", "spz", "spw",
+                    "snx", "sny", "snz")
+
+
+def _rsv_zero_where(mask, r):
+    out = {k: jnp.where(mask, 0.0, v) for k, v in r.items()}
+    out["vinst"] = jnp.where(mask, -1.0, r["vinst"])
+    return out
+
+
+def _rsv_update(r, s, w_new, mask):
+    """WRS update (reservoir.update_reservoir, light.wgsl:146-173)."""
+    w_sum = r["w_sum"] + w_new
+    w2_sum = r["w2_sum"] + w_new * w_new
+    count = r["count"] + 1.0
+    rand = jnp.mod(s["rnd0"] + s["rnd1"] + s["rnd2"] + s["rnd3"], 1.0)
+    replace = mask & (rand < w_new / jnp.maximum(w_sum, 1e-30))
+    out = dict(r)
+    out["w_sum"] = jnp.where(mask, w_sum, r["w_sum"])
+    out["w2_sum"] = jnp.where(mask, w2_sum, r["w2_sum"])
+    out["count"] = jnp.where(mask, count, r["count"])
+    for k in _RSV_SAMPLE_KEYS:
+        out[k] = jnp.where(replace, s[k], r[k])
+    return out
+
+
+def _rsv_clamp(r, max_count):
+    over = r["count"] > max_count
+    scale = jnp.where(over, max_count / jnp.maximum(r["count"], 1e-30), 1.0)
+    out = dict(r)
+    out["w_sum"] = r["w_sum"] * scale
+    out["w2_sum"] = r["w2_sum"] * scale
+    out["count"] = jnp.minimum(r["count"], max_count)
+    return out
+
+
+def _rsv_set(s, w_new):
+    r = dict(s)
+    r["count"] = jnp.ones_like(w_new)
+    r["life"] = jnp.zeros_like(w_new)
+    r["w"] = jnp.zeros_like(w_new)
+    r["w_sum"] = w_new
+    r["w2_sum"] = w_new * w_new
+    return r
+
+
+def _rsv_where(mask, a, b):
+    return {k: jnp.where(mask, a[k], b[k]) for k in b}
 
 
 # ---------------------------------------------------------------------------
@@ -396,8 +577,13 @@ def _trace_full_sweep(tris_ref, attr_ref, n_rows, ox, oy, oz, dx, dy, dz,
 
 def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                   n_em: int, n_alias: int, n_em_tris: int, n_mats: int,
-                  n_tri_rows: int, n_em_rows: int):
-    """Returns the fused kernel for one static configuration."""
+                  n_tri_rows: int, n_em_rows: int, temporal: bool = False):
+    """Returns the fused kernel for one static configuration. With
+    temporal=True the kernel additionally takes the reprojection-gathered
+    previous reservoir planes per active channel and runs the FULL
+    temporal-ReSTIR path in-kernel (gates, WRS merge, validation retrace
+    masked by the per-channel validation flag, finalize, repack) —
+    restir.direct_lit / indirect_lit_ambient with temporal_reuse=True."""
 
     def select_emissive_candidate(params, em_tris, em_attrs, rand,
                                   px, py, pz, nx, ny, nz, excl_f):
@@ -419,15 +605,18 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
         rdx0, rdy0, rdz0 = _onb_apply(dlx, dly, dlz, lx_, ly_, lz_)
 
         if not emissive_on:
+            z = jnp.zeros_like(r0)
             return {
                 "dx": rdx0, "dy": rdy0, "dz": rdz0,
                 "p": jnp.ones_like(r0), "maxd": jnp.full_like(r0, F32_MAX),
+                "mind": jnp.full_like(r0, DISTANCE_MAX),
                 "em_inst": jnp.full_like(r0, -1.0),
                 "info_inst": jnp.full_like(r0, -1.0),
                 "info_mat": jnp.full_like(r0, -1.0),
                 "spx": px + rdx0 * DISTANCE_MAX,
                 "spy": py + rdy0 * DISTANCE_MAX,
                 "spz": pz + rdz0 * DISTANCE_MAX,
+                "spw": z, "snx": z, "sny": z, "snz": z,
             }
 
         # --- emissive-BVH leaf walk, statically unrolled (leaf order)
@@ -550,17 +739,27 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
             "dz": jnp.where(sel, rdz, rdz0),
             "p": jnp.where(sel, p_em, 1.0),
             "maxd": jnp.where(sel, pt, F32_MAX),
+            "mind": jnp.where(sel, pt - 0.1, DISTANCE_MAX),
             "em_inst": jnp.where(sel, em_inst, -1.0),
             "info_inst": jnp.where(sel, pinst, -1.0),
             "info_mat": jnp.where(sel, pmat, -1.0),
             "spx": jnp.where(sel, hpx, fpx),
             "spy": jnp.where(sel, hpy, fpy),
             "spz": jnp.where(sel, hpz, fpz),
+            "spw": jnp.where(sel & probe_hit, 1.0, 0.0),
+            "snx": jnp.where(sel, pnx, 0.0),
+            "sny": jnp.where(sel, pny, 0.0),
+            "snz": jnp.where(sel, pnz, 0.0),
         }
+
+    n_prev = (int(has_sun) + int(emissive_on)
+              + int(bounces > 0)) if temporal else 0
 
     def kernel(params, tris, attrs, em_tris, em_attrs, mats,
                px_r, py_r, pz_r, dep_r, nx_r, ny_r, nz_r, inst_r, mat_r,
-               r0_r, r1_r, r2_r, r3_r, *outs):
+               r0_r, r1_r, r2_r, r3_r, *rest):
+        prev_refs = list(rest[:n_prev])
+        outs = rest[n_prev:]
         px, py, pz = px_r[:], py_r[:], pz_r[:]
         depth = dep_r[:]
         nx, ny, nz = nx_r[:], ny_r[:], nz_r[:]
@@ -580,6 +779,200 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
         emr, emg, emb, ema = surf.em
         em_add = 255.0 * ema
         out_i = 0
+
+        nrm_n = _rsqrt_n(nx, ny, nz)
+
+        def gates(r):
+            """check_previous_reservoir (light.wgsl:917-935)."""
+            ratio = r["vpd"] / jnp.where(depth == 0.0, 1e-30, depth)
+            ratio = jnp.where(ratio < 1.0,
+                              1.0 / jnp.where(ratio == 0.0, 1e-30, ratio),
+                              ratio)
+            depth_miss = ratio > 1.05 * (1.0 + 0.5 * r0)
+            inst_miss = r["vinst"] != inst_f
+            normal_miss = _dot(nrm_n[0], nrm_n[1], nrm_n[2],
+                               r["vnx"], r["vny"], r["vnz"]) < 0.9
+            return _rsv_zero_where(depth_miss | inst_miss | normal_miss, r)
+
+        def cur_sample(cand, rad):
+            """This frame's candidate as reservoir-sample fields."""
+            return {
+                "rad_r": rad[0], "rad_g": rad[1],
+                "rad_b": rad[2], "rad_a": rad[3],
+                "rnd0": r0, "rnd1": r1, "rnd2": r2, "rnd3": r3,
+                "vpx": px, "vpy": py, "vpz": pz, "vpd": depth,
+                "vnx": nx, "vny": ny, "vnz": nz,
+                "vinst": inst_f,
+                "spx": cand["spx"], "spy": cand["spy"], "spz": cand["spz"],
+                "spw": cand.get("spw", jnp.zeros_like(r0)),
+                "snx": cand.get("snx", jnp.zeros_like(r0)),
+                "sny": cand.get("sny", jnp.zeros_like(r0)),
+                "snz": cand.get("snz", jnp.zeros_like(r0)),
+            }
+
+        def trace_candidate(cand, directional: bool, rand4=None):
+            """Candidate -> shadow -> input_radiance. Returns
+            (rad rgba, w_new, sample fields incl. occlusion override)."""
+            rdx, rdy, rdz = cand["dx"], cand["dy"], cand["dz"]
+            trace_ok = (_dot(rdx, rdy, rdz, nx, ny, nz) > 0.0) \
+                & (cand["p"] > 0.0)
+            if not directional:
+                trace_ok &= cand["em_inst"] >= 0.0
+            rox = px + nx * RAY_BIAS
+            roy = py + ny * RAY_BIAS
+            roz = pz + nz * RAY_BIAS
+            occluded, sh_t, sh_inst = _shadow_sweep(
+                tris, n_tri_rows, rox, roy, roz, rdx, rdy, rdz,
+                cand["maxd"], cand["em_inst"])
+            info_inst = jnp.where(occluded, sh_inst, cand["info_inst"])
+            info_mat = jnp.where(occluded, -1.0, cand["info_mat"])
+            spx = jnp.where(occluded, rox + rdx * sh_t, cand["spx"])
+            spy = jnp.where(occluded, roy + rdy * sh_t, cand["spy"])
+            spz = jnp.where(occluded, roz + rdz * sh_t, cand["spz"])
+            spw = jnp.where(occluded, 1.0,
+                            cand.get("spw", jnp.zeros_like(r0)))
+            snx = jnp.where(occluded, 0.0,
+                            cand.get("snx", jnp.zeros_like(r0)))
+            sny = jnp.where(occluded, 0.0,
+                            cand.get("sny", jnp.zeros_like(r0)))
+            snz = jnp.where(occluded, 0.0,
+                            cand.get("snz", jnp.zeros_like(r0)))
+            miss = info_inst < 0.0
+            if directional:
+                cosdl = _dot(rdx, rdy, rdz, params[0, _P_DIRL],
+                             params[0, _P_DIRL + 1], params[0, _P_DIRL + 2])
+                take_dir = miss & (cosdl >= params[0, _P_COS_SOLAR])
+                rad_r = jnp.where(take_dir, params[0, _P_DIRC], 0.0)
+                rad_g = jnp.where(take_dir, params[0, _P_DIRC + 1], 0.0)
+                rad_b = jnp.where(take_dir, params[0, _P_DIRC + 2], 0.0)
+                rad_a = 1.0 - (miss & ~take_dir).astype(jnp.float32)
+            else:
+                hsurf = _mat_sweep(mats, n_mats, jnp.maximum(info_mat, 0.0))
+                hr, hg, hb, ha = hsurf.em
+                take_em = (~miss) & (info_inst == cand["em_inst"])
+                s255 = 255.0 * ha
+                rad_r = jnp.where(take_em, s255 * hr, 0.0)
+                rad_g = jnp.where(take_em, s255 * hg, 0.0)
+                rad_b = jnp.where(take_em, s255 * hb, 0.0)
+                rad_a = 1.0 - miss.astype(jnp.float32)
+            rad_r = jnp.where(trace_ok, rad_r, 0.0)
+            rad_g = jnp.where(trace_ok, rad_g, 0.0)
+            rad_b = jnp.where(trace_ok, rad_b, 0.0)
+            rad_a = jnp.where(trace_ok, rad_a, 0.0)
+            lum = _lum(rad_r, rad_g, rad_b)
+            w_new = jnp.where(cand["p"] > 0.0,
+                              lum / jnp.maximum(cand["p"], 1e-30), 0.0)
+            return ((rad_r, rad_g, rad_b, rad_a), w_new,
+                    {"spx": spx, "spy": spy, "spz": spz, "spw": spw,
+                     "snx": snx, "sny": sny, "snz": snz})
+
+        def reuse_channel(cand_fn, prev_ref, directional: bool,
+                          is_val):
+            """Full temporal path (restir.direct_lit temporal branch)."""
+            r = gates(_unpack_prev(prev_ref))
+            cand = cand_fn((r0, r1, r2, r3))
+            rad, w_new, sp = trace_candidate(cand, directional)
+            s2 = cur_sample(cand, rad)
+            s2.update(sp)
+            gate = valid & ((is_val < 0.5) | (r["count"] < 4.0))
+            r2 = _rsv_clamp(_rsv_update(r, s2, w_new, gate),
+                            params[0, _P_MAXCNT])
+            # validation retrace of the reservoir's remembered sample
+            # (light.wgsl:1156-1213); computed every frame, applied only on
+            # validation frames — for this kernel's scene class the extra
+            # sweep is ~0.1 ms vs compiling 2x kernel variants per flag
+            r_rand = (r["rnd0"], r["rnd1"], r["rnd2"], r["rnd3"])
+            cand_v = cand_fn(r_rand, pos=(r["vpx"], r["vpy"], r["vpz"]),
+                             nrm=(r["vnx"], r["vny"], r["vnz"]))
+            rvx, rvy, rvz = _rsqrt_n(r["spx"] - px, r["spy"] - py,
+                                     r["spz"] - pz)
+            trace_ok_v = (_dot(cand_v["dx"], cand_v["dy"], cand_v["dz"],
+                               r["vnx"], r["vny"], r["vnz"]) > 0.0) \
+                & (cand_v["p"] > 0.0)
+            if not directional:
+                trace_ok_v &= cand_v["em_inst"] >= 0.0
+            rox = px + nx * RAY_BIAS
+            roy = py + ny * RAY_BIAS
+            roz = pz + nz * RAY_BIAS
+            occ_v, sht_v, shi_v = _shadow_sweep(
+                tris, n_tri_rows, rox, roy, roz, rvx, rvy, rvz,
+                cand_v["maxd"], cand_v["em_inst"])
+            vi_inst = jnp.where(occ_v, shi_v, cand_v["info_inst"])
+            vi_mat = jnp.where(occ_v, -1.0, cand_v["info_mat"])
+            vspx = jnp.where(occ_v, rox + rvx * sht_v, cand_v["spx"])
+            vspy = jnp.where(occ_v, roy + rvy * sht_v, cand_v["spy"])
+            vspz = jnp.where(occ_v, roz + rvz * sht_v, cand_v["spz"])
+            vspw = jnp.where(occ_v, 1.0, cand_v["spw"])
+            vsnx = jnp.where(occ_v, 0.0, cand_v["snx"])
+            vsny = jnp.where(occ_v, 0.0, cand_v["sny"])
+            vsnz = jnp.where(occ_v, 0.0, cand_v["snz"])
+            vmiss = vi_inst < 0.0
+            if directional:
+                cosdl_v = _dot(rvx, rvy, rvz, params[0, _P_DIRL],
+                               params[0, _P_DIRL + 1],
+                               params[0, _P_DIRL + 2])
+                vtake = vmiss & (cosdl_v >= params[0, _P_COS_SOLAR])
+                vrad_r = jnp.where(vtake, params[0, _P_DIRC], 0.0)
+                vrad_g = jnp.where(vtake, params[0, _P_DIRC + 1], 0.0)
+                vrad_b = jnp.where(vtake, params[0, _P_DIRC + 2], 0.0)
+                vrad_a = 1.0 - (vmiss & ~vtake).astype(jnp.float32)
+            else:
+                vsurf = _mat_sweep(mats, n_mats, jnp.maximum(vi_mat, 0.0))
+                vr_, vg_, vb_, va_ = vsurf.em
+                vtake = (~vmiss) & (vi_inst == cand_v["em_inst"])
+                v255 = 255.0 * va_
+                vrad_r = jnp.where(vtake, v255 * vr_, 0.0)
+                vrad_g = jnp.where(vtake, v255 * vg_, 0.0)
+                vrad_b = jnp.where(vtake, v255 * vb_, 0.0)
+                vrad_a = 1.0 - vmiss.astype(jnp.float32)
+            vrad_r = jnp.where(trace_ok_v, vrad_r, 0.0)
+            vrad_g = jnp.where(trace_ok_v, vrad_g, 0.0)
+            vrad_b = jnp.where(trace_ok_v, vrad_b, 0.0)
+            vrad_a = jnp.where(trace_ok_v, vrad_a, 0.0)
+            reuse_validate = r["count"] >= 4.0
+            s2v = dict(s2)
+            for k, v in (("rnd0", r["rnd0"]), ("rnd1", r["rnd1"]),
+                         ("rnd2", r["rnd2"]), ("rnd3", r["rnd3"]),
+                         ("spx", vspx), ("spy", vspy), ("spz", vspz),
+                         ("spw", vspw), ("snx", vsnx), ("sny", vsny),
+                         ("snz", vsnz), ("rad_r", vrad_r),
+                         ("rad_g", vrad_g), ("rad_b", vrad_b),
+                         ("rad_a", vrad_a)):
+                s2v[k] = jnp.where(reuse_validate, v, s2[k])
+            lum_ratio = _lum(vrad_r, vrad_g, vrad_b) / jnp.maximum(
+                _lum(r["rad_r"], r["rad_g"], r["rad_b"]), 1e-4)
+            lum_miss = ((lum_ratio > 1.25) | (lum_ratio < 0.8)) & valid
+            w_new_v = jnp.where(
+                cand_v["p"] > 0.0,
+                _lum(s2v["rad_r"], s2v["rad_g"], s2v["rad_b"])
+                / jnp.maximum(cand_v["p"], 1e-30), 0.0)
+            take_v = (is_val > 0.5) & lum_miss
+            r2 = _rsv_where(take_v, _rsv_set(s2v, w_new_v), r2)
+            # finalize (light.wgsl:1216-1259)
+            tot = r2["count"] * _lum(r2["rad_r"], r2["rad_g"], r2["rad_b"])
+            r2["w"] = jnp.where(tot > 0.0,
+                                r2["w_sum"] / jnp.maximum(tot, 1e-30), 0.0)
+            for k, v in (("vpx", px), ("vpy", py), ("vpz", pz),
+                         ("vpd", depth), ("vnx", nx), ("vny", ny),
+                         ("vnz", nz)):
+                r2[k] = v
+            r2["life"] = r2["life"] + 1.0
+            cnt = jnp.maximum(r2["count"], 1e-30)
+            var = r2["w2_sum"] / cnt - (r2["w_sum"] / cnt) ** 2
+            var = jnp.where(r2["count"] < 1.0, var, var / cnt)
+            var = jnp.where(valid, jnp.minimum(var, 10.0), 0.0)
+            r2 = _rsv_zero_where(~valid, r2)
+            ldx, ldy, ldz = _rsqrt_n(r2["spx"] - r2["vpx"],
+                                     r2["spy"] - r2["vpy"],
+                                     r2["spz"] - r2["vpz"])
+            o_r, o_g, o_b = _shade(surf, amb_r, amb_g, amb_b, vx, vy, vz,
+                                   nx, ny, nz, ldx, ldy, ldz,
+                                   r2["rad_r"], r2["rad_g"], r2["rad_b"],
+                                   r2["rad_a"])
+            o_r = o_r * r2["w"]
+            o_g = o_g * r2["w"]
+            o_b = o_b * r2["w"]
+            return (o_r, o_g, o_b), var, r2
 
         def shade_channel(cand, directional: bool):
             """Candidate -> shadow -> input_radiance -> shading * w
@@ -638,42 +1031,86 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
         # no sun the whole channel is the deterministic emission add, which
         # the caller keeps at full res outside the checkerboard
         # (emissive_surface_channel) — no kernel outputs for it then.
-        if has_sun:
-            # solar-only candidate: p=1, maxd=F32_MAX, em=-1 (sampling.py:157)
+        prev_i = 0
+
+        def solar_cand(rand4, pos=None, nrm=None):
+            # solar-only candidate: p=1, maxd=F32_MAX, em=-1
+            # (sampling.py:157); independent of pos/nrm
+            _, _, c2, c3 = rand4
             cos_solar = params[0, _P_COS_SOLAR]
-            cz = 1.0 - (1.0 - cos_solar) * r2
-            theta = TAU * r3
+            cz = 1.0 - (1.0 - cos_solar) * c2
+            theta = TAU * c3
             cr = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0))
             lx_, ly_, lz_ = cr * jnp.cos(theta), cr * jnp.sin(theta), cz
             rdx0, rdy0, rdz0 = _onb_apply(
                 params[0, _P_DIRL], params[0, _P_DIRL + 1],
                 params[0, _P_DIRL + 2], lx_, ly_, lz_)
-            cand_d = {
+            ppx = px if pos is None else pos[0]
+            ppy = py if pos is None else pos[1]
+            ppz = pz if pos is None else pos[2]
+            z = jnp.zeros_like(r0)
+            return {
                 "dx": rdx0, "dy": rdy0, "dz": rdz0,
                 "p": jnp.ones_like(r0), "maxd": jnp.full_like(r0, F32_MAX),
+                "mind": jnp.full_like(r0, DISTANCE_MAX),
                 "em_inst": jnp.full_like(r0, -1.0),
                 "info_inst": jnp.full_like(r0, -1.0),
                 "info_mat": jnp.full_like(r0, -1.0),
-                "spx": px + rdx0 * DISTANCE_MAX,
-                "spy": py + rdy0 * DISTANCE_MAX,
-                "spz": pz + rdz0 * DISTANCE_MAX,
+                "spx": ppx + rdx0 * DISTANCE_MAX,
+                "spy": ppy + rdy0 * DISTANCE_MAX,
+                "spz": ppz + rdz0 * DISTANCE_MAX,
+                "spw": z, "snx": z, "sny": z, "snz": z,
             }
-            d_r, d_g, d_b = shade_channel(cand_d, directional=True)
-            outs[out_i][:] = jnp.where(valid, d_r + em_add * emr, 0.0)
-            outs[out_i + 1][:] = jnp.where(valid, d_g + em_add * emg, 0.0)
-            outs[out_i + 2][:] = jnp.where(valid, d_b + em_add * emb, 0.0)
-            out_i += 3
+
+        if has_sun:
+            if temporal:
+                (d_r, d_g, d_b), d_var, d_rsv = reuse_channel(
+                    solar_cand, prev_refs[prev_i], True, params[2, 0])
+                prev_i += 1
+                outs[out_i][:] = jnp.where(valid, d_r + em_add * emr, 0.0)
+                outs[out_i + 1][:] = jnp.where(valid, d_g + em_add * emg,
+                                               0.0)
+                outs[out_i + 2][:] = jnp.where(valid, d_b + em_add * emb,
+                                               0.0)
+                outs[out_i + 3][:] = d_var
+                _pack_out(outs[out_i + 4], d_rsv)
+                out_i += 5
+            else:
+                cand_d = solar_cand((r0, r1, r2, r3))
+                d_r, d_g, d_b = shade_channel(cand_d, directional=True)
+                outs[out_i][:] = jnp.where(valid, d_r + em_add * emr, 0.0)
+                outs[out_i + 1][:] = jnp.where(valid, d_g + em_add * emg,
+                                               0.0)
+                outs[out_i + 2][:] = jnp.where(valid, d_b + em_add * emb,
+                                               0.0)
+                out_i += 3
 
         # ---- emissive channel
         if emissive_on:
-            cand_e = select_emissive_candidate(
-                params, em_tris, em_attrs, (r0, r1, r2, r3),
-                px, py, pz, nx, ny, nz, inst_f)
-            e_r, e_g, e_b = shade_channel(cand_e, directional=False)
-            outs[out_i][:] = jnp.where(valid, e_r, 0.0)
-            outs[out_i + 1][:] = jnp.where(valid, e_g, 0.0)
-            outs[out_i + 2][:] = jnp.where(valid, e_b, 0.0)
-            out_i += 3
+            def em_cand(rand4, pos=None, nrm=None):
+                p3 = (px, py, pz) if pos is None else pos
+                n3 = (nx, ny, nz) if nrm is None else nrm
+                return select_emissive_candidate(
+                    params, em_tris, em_attrs, rand4,
+                    p3[0], p3[1], p3[2], n3[0], n3[1], n3[2], inst_f)
+
+            if temporal:
+                (e_r, e_g, e_b), e_var, e_rsv = reuse_channel(
+                    em_cand, prev_refs[prev_i], False, params[2, 1])
+                prev_i += 1
+                outs[out_i][:] = jnp.where(valid, e_r, 0.0)
+                outs[out_i + 1][:] = jnp.where(valid, e_g, 0.0)
+                outs[out_i + 2][:] = jnp.where(valid, e_b, 0.0)
+                outs[out_i + 3][:] = e_var
+                _pack_out(outs[out_i + 4], e_rsv)
+                out_i += 5
+            else:
+                cand_e = em_cand((r0, r1, r2, r3))
+                e_r, e_g, e_b = shade_channel(cand_e, directional=False)
+                outs[out_i][:] = jnp.where(valid, e_r, 0.0)
+                outs[out_i + 1][:] = jnp.where(valid, e_g, 0.0)
+                outs[out_i + 2][:] = jnp.where(valid, e_b, 0.0)
+                out_i += 3
 
         # ---- indirect channel (light.wgsl:1264-1498, no-reuse fast path)
         if bounces > 0:
@@ -720,6 +1157,8 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 hnz = jnp.where(hit_ok, hnz, 0.0)
                 if n_b == 0:
                     first_px, first_py, first_pz = hpx, hpy, hpz
+                    first_nx, first_ny, first_nz = hnx, hny, hnz
+                    first_hit = hit_ok
                     pdf0 = bpdf
 
                 hsurf = _mat_sweep(mats, n_mats,
@@ -830,12 +1269,59 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
             lum_s = _lum(s_r, s_g, s_b)
             w_new = jnp.where(pdf0 > 0.0,
                               lum_s / jnp.maximum(pdf0, 1e-30), 0.0)
-            w2d = jnp.where(valid & (lum_s > 0.0),
-                            w_new / jnp.maximum(lum_s, 1e-30), 0.0)
-            outs[out_i][:] = jnp.where(valid, s_r * w2d, 0.0)
-            outs[out_i + 1][:] = jnp.where(valid, s_g * w2d, 0.0)
-            outs[out_i + 2][:] = jnp.where(valid, s_b * w2d, 0.0)
-            out_i += 3
+            if temporal:
+                # indirect temporal ReSTIR (light.wgsl:1452-1497): the
+                # reservoir stores the RAW bounce radiance; shading happens
+                # from the merged sample (restir.indirect_lit_ambient)
+                r_i = gates(_unpack_prev(prev_refs[prev_i]))
+                prev_i += 1
+                s_ind = {
+                    "rad_r": tot_r, "rad_g": tot_g, "rad_b": tot_b,
+                    "rad_a": tot_a,
+                    "rnd0": r0, "rnd1": r1, "rnd2": r2, "rnd3": r3,
+                    "vpx": px, "vpy": py, "vpz": pz, "vpd": depth,
+                    "vnx": bnx, "vny": bny, "vnz": bnz,
+                    "vinst": inst_f,
+                    "spx": first_px, "spy": first_py, "spz": first_pz,
+                    "spw": first_hit.astype(jnp.float32),
+                    "snx": first_nx, "sny": first_ny, "snz": first_nz,
+                }
+                ri2 = _rsv_clamp(_rsv_update(r_i, s_ind, w_new, valid),
+                                 params[0, _P_MAXCNT])
+                ldx, ldy, ldz = _rsqrt_n(ri2["spx"] - ri2["vpx"],
+                                         ri2["spy"] - ri2["vpy"],
+                                         ri2["spz"] - ri2["vpz"])
+                o_r, o_g, o_b = _shade(
+                    surf, amb_r, amb_g, amb_b, vx, vy, vz,
+                    ri2["vnx"], ri2["vny"], ri2["vnz"], ldx, ldy, ldz,
+                    ri2["rad_r"], ri2["rad_g"], ri2["rad_b"], ri2["rad_a"])
+                tot2 = ri2["count"] * _lum(o_r, o_g, o_b)
+                ri2["w"] = jnp.where(
+                    tot2 > 0.0, ri2["w_sum"] / jnp.maximum(tot2, 1e-30),
+                    0.0)
+                for k, v in (("vpx", px), ("vpy", py), ("vpz", pz),
+                             ("vpd", depth), ("vnx", bnx), ("vny", bny),
+                             ("vnz", bnz)):
+                    ri2[k] = v
+                ri2["life"] = ri2["life"] + 1.0
+                cnt = jnp.maximum(ri2["count"], 1e-30)
+                var = ri2["w2_sum"] / cnt - (ri2["w_sum"] / cnt) ** 2
+                var = jnp.where(ri2["count"] < 1.0, var, var / cnt)
+                var = jnp.where(valid, jnp.minimum(var, 10.0), 0.0)
+                ri2 = _rsv_zero_where(~valid, ri2)
+                outs[out_i][:] = jnp.where(valid, o_r * ri2["w"], 0.0)
+                outs[out_i + 1][:] = jnp.where(valid, o_g * ri2["w"], 0.0)
+                outs[out_i + 2][:] = jnp.where(valid, o_b * ri2["w"], 0.0)
+                outs[out_i + 3][:] = var
+                _pack_out(outs[out_i + 4], ri2)
+                out_i += 5
+            else:
+                w2d = jnp.where(valid & (lum_s > 0.0),
+                                w_new / jnp.maximum(lum_s, 1e-30), 0.0)
+                outs[out_i][:] = jnp.where(valid, s_r * w2d, 0.0)
+                outs[out_i + 1][:] = jnp.where(valid, s_g * w2d, 0.0)
+                outs[out_i + 2][:] = jnp.where(valid, s_b * w2d, 0.0)
+                out_i += 3
 
     return kernel
 
@@ -845,14 +1331,20 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=(
-    "has_sun", "num_emissives", "bounces", "render_size", "interpret"))
+    "has_sun", "num_emissives", "bounces", "render_size", "interpret",
+    "temporal"))
 def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
                    num_emissives: int, bounces: int, render_size,
-                   interpret: bool = False):
+                   interpret: bool = False, temporal: bool = False,
+                   prev_planes=None):
     """Run the mega-kernel. g: render-res (or checkerboard-compressed)
     G-buffer dict; rand: [h,w,4] blue noise. Returns dict with
-    d_render/e_render/i_render [h,w,4] (variance is identically zero on this
-    path — the caller supplies zeros; see restir.direct_lit fast path)."""
+    d_render/e_render/i_render [h,w,4] (variance is identically zero on the
+    no-reuse path — the caller supplies zeros; see restir.direct_lit fast
+    path). temporal=True additionally takes prev_planes (a list of
+    reprojection-gathered [h,16,w] reservoir tensors, one per active
+    channel in d/e/i order, already in_strict-masked) and returns
+    {d,e,i}_var [h,w] + {d,e,i}_packed [h,16,w] new temporal carries."""
     h, w = render_size
     bh = _block_h(w)
     hp = -(-h // bh) * bh
@@ -904,33 +1396,52 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         _plane(rand[..., 3]),
     ]
 
-    n_out = ((3 if has_sun else 0) + (3 if emissive_on else 0)
-             + (3 if bounces > 0 else 0))
+    n_chan = int(has_sun) + int(emissive_on) + int(bounces > 0)
+    per_chan = 5 if temporal else 3   # rgb [+ variance + packed carry]
+    n_out = n_chan * per_chan
+    prevs = []
+    if temporal:
+        assert prev_planes is not None and len(prev_planes) == n_chan
+        prevs = [jnp.pad(p, ((0, hp - h), (0, 0), (0, 0)))
+                 if hp > h else p for p in prev_planes]
     kernel = _build_kernel(
         has_sun=has_sun, emissive_on=emissive_on, bounces=bounces,
         n_em=n_em, n_alias=n_alias, n_em_tris=n_em_tris, n_mats=n_mats,
-        n_tri_rows=tris.shape[0], n_em_rows=em_tris.shape[0])
+        n_tri_rows=tris.shape[0], n_em_rows=em_tris.shape[0],
+        temporal=temporal)
 
     def tab_spec(r):
         return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    def invoke(params, tris, attrs, em_tris, em_attrs, mats, *planes):
+    def invoke(params, tris, attrs, em_tris, em_attrs, mats, *ops_):
+        planes = ops_[:13]
+        prevs_l = ops_[13:]
         rows = planes[0].shape[0]
         ray_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+        rsv_spec = pl.BlockSpec((bh, 16, w), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs, out_shape = [], []
+        for _c in range(n_chan):
+            out_specs += [ray_spec] * 3
+            out_shape += [jax.ShapeDtypeStruct((rows, w), jnp.float32)] * 3
+            if temporal:
+                out_specs += [ray_spec, rsv_spec]
+                out_shape += [
+                    jax.ShapeDtypeStruct((rows, w), jnp.float32),
+                    jax.ShapeDtypeStruct((rows, 16, w), jnp.float32)]
         return pl.pallas_call(
             kernel,
             interpret=interpret,
             grid=(rows // bh,),
-            in_specs=[tab_spec(2), tab_spec(tris.shape[0]),
+            in_specs=[tab_spec(3), tab_spec(tris.shape[0]),
                       tab_spec(attrs.shape[0]), tab_spec(em_tris.shape[0]),
                       tab_spec(em_attrs.shape[0]), tab_spec(mats.shape[0])]
-            + [ray_spec] * 13,
-            out_specs=[ray_spec] * n_out,
-            out_shape=[jax.ShapeDtypeStruct((rows, w), jnp.float32)]
-            * n_out,
-        )(params, tris, attrs, em_tris, em_attrs, mats, *planes)
+            + [ray_spec] * 13 + [rsv_spec] * len(prevs_l),
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(params, tris, attrs, em_tris, em_attrs, mats, *ops_)
 
     from hikari_tpu.parallel import shard as _sh
 
@@ -943,14 +1454,23 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         hpm = -(-hp // (bh * n)) * bh * n
         if hpm > hp:
             planes = [jnp.pad(p, ((0, hpm - hp), (0, 0))) for p in planes]
+            prevs = [jnp.pad(p, ((0, hpm - hp), (0, 0), (0, 0)))
+                     for p in prevs]
+        out_specs = []
+        for _c in range(n_chan):
+            out_specs += [P(_sh.AXIS, None)] * 3
+            if temporal:
+                out_specs += [P(_sh.AXIS, None), P(_sh.AXIS, None, None)]
         outs = _sh.smap(
             invoke, mesh,
-            in_specs=(P(),) * 6 + (P(_sh.AXIS, None),) * 13,
-            out_specs=[P(_sh.AXIS, None)] * n_out)(
-                params, tris, attrs, em_tris, em_attrs, mats, *planes)
+            in_specs=(P(),) * 6 + (P(_sh.AXIS, None),) * 13
+            + (P(_sh.AXIS, None, None),) * len(prevs),
+            out_specs=out_specs)(
+                params, tris, attrs, em_tris, em_attrs, mats, *planes,
+                *prevs)
     else:
         outs = invoke(params, tris, attrs, em_tris, em_attrs, mats,
-                      *planes)
+                      *planes, *prevs)
 
     valid = depth >= F32_EPSILON
     alpha = valid.astype(jnp.float32)
@@ -961,12 +1481,14 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
 
     out = {}
     i0 = 0
-    if has_sun:
-        out["d_render"] = to_render(i0)
+    for slot, active in (("d", has_sun), ("e", emissive_on),
+                         ("i", bounces > 0)):
+        if not active:
+            continue
+        out[f"{slot}_render"] = to_render(i0)
         i0 += 3
-    if emissive_on:
-        out["e_render"] = to_render(i0)
-        i0 += 3
-    if bounces > 0:
-        out["i_render"] = to_render(i0)
+        if temporal:
+            out[f"{slot}_var"] = outs[i0][:h]
+            out[f"{slot}_packed"] = outs[i0 + 1][:h]
+            i0 += 2
     return out

@@ -134,7 +134,80 @@ def test_fused_not_eligible_with_reuse_or_textures():
                 temporal_reuse=False, track_de=False, track_ind=False,
                 tracer_kind="brute_force_pallas")
     assert fused_eligible(scene, **base)
-    assert not fused_eligible(scene, **{**base, "temporal_reuse": True})
+    # temporal reuse is now covered in-kernel, EXCEPT under checkerboard
+    assert fused_eligible(scene, **{**base, "temporal_reuse": True})
+    assert not fused_eligible(scene, **{**base, "temporal_reuse": True,
+                                        "ckb": True})
     assert not fused_eligible(scene, **{**base, "track_de": True})
     assert not fused_eligible(scene, **{**base, "no_texture": False})
     assert not fused_eligible(scene, **{**base, "tracer_kind": "cull"})
+
+
+def test_fused_temporal_matches_modular_over_frames(monkeypatch):
+    """In-kernel temporal ReSTIR (gates + WRS + validation + repack) vs the
+    modular restir path: full-frame pipeline comparison over 4 frames from
+    the same initial carry. WRS replacement decisions are threshold
+    comparisons, so float-associativity noise can flip isolated pixels —
+    assert near-equality for >=99% of pixels and close renders."""
+    import jax
+
+    from hikari_tpu.frame import build_render_frame, init_carry
+    from hikari_tpu.ops import light_fused as _lf
+    from hikari_tpu.ops.noise import noise_constant
+
+    gpu = emissive_scene().compile()
+    scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
+    tracer = make_tracer(gpu.num_triangles)
+    cam = Camera.from_look_at((3.0, 2.5, 3.0), (0, 0.5, 0),
+                              width=SIZE[1], height=SIZE[0])
+    view = {k: jnp.asarray(v) for k, v in cam.view_uniform().items()}
+    settings = dataclasses.replace(
+        HikariSettings(), temporal_reuse=True, emissive_spatial_reuse=False,
+        indirect_spatial_reuse=False, denoise=False, taa=Taa.NONE,
+        indirect_bounces=1, checkerboard_lighting=False)
+    settings = dataclasses.replace(
+        settings, upscale=settings.upscale.__class__.none()
+        if hasattr(settings.upscale, "none") else settings.upscale)
+    from hikari_tpu import Upscale
+
+    settings = dataclasses.replace(settings, upscale=Upscale.none())
+    noise = noise_constant()
+
+    assert _lf.fused_eligible(
+        scene, no_texture=True, num_emissives=gpu.num_emissives,
+        temporal_reuse=True, track_de=False, track_ind=False,
+        tracer_kind="brute_force_pallas", has_sun=gpu.has_sun, bounces=1)
+
+    def run(force_modular):
+        if force_modular:
+            monkeypatch.setattr(_lf, "fused_eligible",
+                                lambda *a, **k: False)
+        fn = build_render_frame(settings, SIZE, tracer, no_texture=True,
+                                num_emissives=gpu.num_emissives,
+                                has_sun=gpu.has_sun)
+        if force_modular:
+            monkeypatch.undo()
+        carry = init_carry(SIZE, settings)
+        imgs, carries = [], []
+        jfn = jax.jit(fn)
+        for i in range(1, 5):
+            frame = make_frame_uniform(settings, i)
+            img, _, carry = jfn(scene, view, frame, noise, carry)
+            imgs.append(np.asarray(img))
+            carries.append(jax.tree.map(np.asarray, carry))
+        return imgs, carries
+
+    imgs_m, carries_m = run(True)
+    imgs_f, carries_f = run(False)
+    for i, (a, b) in enumerate(zip(imgs_m, imgs_f)):
+        close = np.isclose(a, b, atol=5e-3, rtol=1e-2).all(axis=-1)
+        assert close.mean() > 0.99, (i, close.mean())
+    for key in ("direct_temporal", "emissive_temporal",
+                "indirect_temporal"):
+        rm = rsv.unpack_reservoir_planes(jnp.asarray(carries_m[-1][key]))
+        rf = rsv.unpack_reservoir_planes(jnp.asarray(carries_f[-1][key]))
+        for f in ("count", "w_sum", "visible_instance"):
+            a = np.asarray(rm[f], np.float32)
+            b = np.asarray(rf[f], np.float32)
+            close = np.isclose(a, b, atol=1e-2, rtol=1e-2)
+            assert close.mean() > 0.98, (key, f, close.mean())
