@@ -71,14 +71,17 @@ def main():
     base = dataclasses.replace(
         HikariSettings(),
         temporal_reuse=_o.environ.get("BENCH_REUSE", "0") == "1",
-        emissive_spatial_reuse=False,
-        indirect_spatial_reuse=False,
         denoise=_o.environ.get("BENCH_DENOISE", "1") == "1",
         indirect_bounces=int(_o.environ.get("BENCH_BOUNCES", "1")),
         taa=Taa.JASMINE if upscale_mode == "smaa2"
         and _o.environ.get("BENCH_TAA", "1") == "1" else Taa.NONE,
         upscale=Upscale.smaa_tu4x(2.0) if upscale_mode == "smaa2"
         else Upscale.none(),
+        # BENCH_SPATIAL=1 turns spatial reuse on; BENCH_SCRAMBLE=1 adds the
+        # per-pixel tap scramble (tools/scramble_ab.py A/B)
+        emissive_spatial_reuse=_o.environ.get("BENCH_SPATIAL", "0") == "1",
+        indirect_spatial_reuse=_o.environ.get("BENCH_SPATIAL", "0") == "1",
+        spatial_tap_scramble=_o.environ.get("BENCH_SCRAMBLE", "0") == "1",
     )
     cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
 
