@@ -15,7 +15,30 @@ halved ray cost. The JSON still carries the checkerboard number
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+
+# Probe the TPU tunnel in a SUBPROCESS before touching jax here: a wedged
+# axon relay makes every device call hang forever (uninterruptible from
+# Python), which would stall the whole bench run instead of reporting.
+if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.jit(lambda x: (x@x).sum())(jnp.ones((128,128)))"
+             ".block_until_ready()"],
+            timeout=180, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "frame_ms_1080p", "value": None, "unit": "ms",
+            "vs_baseline": None,
+            "error": f"TPU tunnel unreachable ({type(e).__name__}); "
+                     "see PERF.md round-3 note — last good flagship "
+                     "14.9 ms full-res / 975 Mrays/s"}))
+        sys.exit(0)
 
 import jax
 import numpy as np
