@@ -1,15 +1,26 @@
-"""Benchmark: frame time + ray throughput on the flagship scene at 1080p.
+"""Benchmark matrix: frame time + ray throughput on the headline configs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target (BASELINE.md): < 16 ms/frame at 1080p => vs_baseline =
 16.0 / measured_ms (>1 is better than target).
 
-The headline `value` is the FULL-RES lighting config (every lighting ray
-traced every frame — apples-to-apples with BASELINE config 2). Since the
-fused lighting kernel landed (round 3), full-res is also FASTER than
-checkerboard: the compress/expand + reconstruction overhead now exceeds the
-halved ray cost. The JSON still carries the checkerboard number
-(`frame_ms_ckb`) so the pair stays visible (VERDICT r2 weak #4).
+The headline `value` is the FULL-RES lighting flagship (BASELINE config 2:
+cornell, emissive NEE, denoise, no reuse — every lighting ray traced every
+frame). The same JSON line carries the rest of the matrix (VERDICT r3
+weak #6: the driver must see every config the rounds argue about):
+
+  frame_ms_ckb     flagship + checkerboard lighting
+  frame_ms_smaa2   reference-default envelope (SMAA TU4X 2.0 + TAA Jasmine,
+                   lib.rs:436-455 defaults)
+  frame_ms_reuse   flagship + temporal ReSTIR reuse (in-kernel)
+  frame_ms_spatial flagship + temporal + spatial reuse (the config the
+                   reference's screenshots exercise)
+  frame_ms_city    BASELINE config 5: high instance count + per-frame
+                   on-device refit + SMAA TU4X + HDR (examples/city.py);
+                   city_refit_ms is the host-visible update_scene(fast)
+                   cost included in that frame time
+
+Set BENCH_MATRIX=0 to emit only the flagship pair.
 """
 
 from __future__ import annotations
@@ -36,8 +47,7 @@ if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
             "metric": "frame_ms_1080p", "value": None, "unit": "ms",
             "vs_baseline": None,
             "error": f"TPU tunnel unreachable ({type(e).__name__}); "
-                     "see PERF.md round-3 note — last good flagship "
-                     "14.9 ms full-res / 975 Mrays/s"}))
+                     "see PERF.md for the last verified numbers"}))
         sys.exit(0)
 
 import jax
@@ -65,60 +75,27 @@ def main():
 
     from hikari_tpu import Camera, HikariSettings, Renderer, Taa, Upscale
 
-    import os as _o
-    width = int(_o.environ.get("BENCH_W", 1920))
-    height = int(_o.environ.get("BENCH_H", 1080))
-    frames = 20
+    width = int(os.environ.get("BENCH_W", 1920))
+    height = int(os.environ.get("BENCH_H", 1080))
+    frames = int(os.environ.get("BENCH_FRAMES", 20))
+    matrix = os.environ.get("BENCH_MATRIX", "1") == "1"
 
-    # Flagship config: cornell-class scene (emissive NEE + denoise, no reuse)
-    # per BASELINE.json config 2. Falls back to the minimal scene until the
-    # glTF path is benchmarked.
-    try:
-        from examples.cornell import build_scene
+    from examples.cornell import build_scene
 
-        scene = build_scene()
-        camera_kwargs = dict(eye=(0.0, 1.0, 3.2), target=(0.0, 1.0, 0.0))
-        name = "cornell"
-    except Exception:
-        from examples.minimal import build_scene
+    scene = build_scene()
+    cam = Camera.from_look_at((0.0, 1.0, 3.2), (0.0, 1.0, 0.0),
+                              width=width, height=height)
 
-        scene = build_scene()
-        camera_kwargs = dict(eye=(-2.0, 2.5, 5.0), target=(0, 0, 0))
-        name = "minimal"
-
-    # BASELINE config 2 (cornell): "emissive alias-table NEE, denoise on,
-    # no reuse". TAA/upscale off => lighting at full 1080p.
-    # BENCH_UPSCALE=smaa2 selects the reference-default config instead
-    # (SMAA TU4X ratio 2 + TAA Jasmine — lib.rs:436-455).
-    upscale_mode = _o.environ.get("BENCH_UPSCALE", "none")
-    base = dataclasses.replace(
+    # BASELINE config 2 (cornell): emissive alias-table NEE, denoise on,
+    # no reuse; TAA/upscale off => lighting at full 1080p.
+    flagship = dataclasses.replace(
         HikariSettings(),
-        temporal_reuse=_o.environ.get("BENCH_REUSE", "0") == "1",
-        denoise=_o.environ.get("BENCH_DENOISE", "1") == "1",
-        indirect_bounces=int(_o.environ.get("BENCH_BOUNCES", "1")),
-        taa=Taa.JASMINE if upscale_mode == "smaa2"
-        and _o.environ.get("BENCH_TAA", "1") == "1" else Taa.NONE,
-        upscale=Upscale.smaa_tu4x(2.0) if upscale_mode == "smaa2"
-        else Upscale.none(),
-        # BENCH_SPATIAL=1 turns spatial reuse on; BENCH_SCRAMBLE=1 adds the
-        # per-pixel tap scramble (tools/scramble_ab.py A/B)
-        emissive_spatial_reuse=_o.environ.get("BENCH_SPATIAL", "0") == "1",
-        indirect_spatial_reuse=_o.environ.get("BENCH_SPATIAL", "0") == "1",
-        spatial_tap_scramble=_o.environ.get("BENCH_SCRAMBLE", "0") == "1",
-    )
-    cam = Camera.from_look_at(width=width, height=height, **camera_kwargs)
+        temporal_reuse=False, denoise=True, indirect_bounces=1,
+        taa=Taa.NONE, upscale=Upscale.none(),
+        emissive_spatial_reuse=False, indirect_spatial_reuse=False,
+        checkerboard_lighting=False)
 
-    # checkerboard lighting (half the lighting rays/frame, depth/normal-aware
-    # reconstruction; ops/checkerboard.py) — a TPU-native option kept for the
-    # bench matrix. Headline = full-res (BASELINE-comparable AND faster since
-    # the fused kernel); BENCH_CKB=1 also measures the checkerboard config.
-    run_ckb = _o.environ.get("BENCH_CKB", "1") == "1"
-    reps_full = _measure(Renderer(
-        scene, cam, dataclasses.replace(base, checkerboard_lighting=False)),
-        frames)
-    reps_ckb = _measure(Renderer(
-        scene, cam, dataclasses.replace(base, checkerboard_lighting=True)),
-        frames) if run_ckb else reps_full
+    reps_full = _measure(Renderer(scene, cam, flagship), frames)
     dt = min(reps_full)
     frame_ms = dt * 1e3
 
@@ -127,9 +104,9 @@ def main():
     # probe + NEE shadow) per bounce
     from hikari_tpu.frame import scaled_size
 
-    rh, rw = scaled_size((height, width), base.upscale_ratio)
+    rh, rw = scaled_size((height, width), flagship.upscale_ratio)
     n_render = rh * rw
-    rays = height * width + n_render * (1 + 2 + 3 * base.indirect_bounces)
+    rays = height * width + n_render * (1 + 2 + 3 * flagship.indirect_bounces)
     mrays = rays / dt / 1e6
 
     out = {
@@ -137,15 +114,69 @@ def main():
         "value": round(frame_ms, 3),
         "unit": "ms",
         "vs_baseline": round(16.0 / frame_ms, 4),
-        "scene": name,
-        "checkerboard": False,
+        "scene": "cornell",
         "mrays_per_s": round(mrays, 1),
         "reps_ms": [round(x * 1e3, 2) for x in reps_full],
         "device": str(jax.devices()[0]),
     }
-    if run_ckb:
-        out["frame_ms_ckb"] = round(min(reps_ckb) * 1e3, 3)
-        out["reps_ms_ckb"] = [round(x * 1e3, 2) for x in reps_ckb]
+    if not matrix:
+        print(json.dumps(out))
+        return
+
+    def try_cfg(key, settings, reps=2, scn=None, camera=None):
+        try:
+            r = Renderer(scn if scn is not None else scene,
+                         camera if camera is not None else cam, settings)
+            ms = _measure(r, frames, reps=reps)
+            out[key] = round(min(ms) * 1e3, 3)
+        except Exception as e:  # pragma: no cover - matrix robustness
+            out[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    try_cfg("frame_ms_ckb",
+            dataclasses.replace(flagship, checkerboard_lighting=True))
+    try_cfg("frame_ms_smaa2",
+            dataclasses.replace(flagship, taa=Taa.JASMINE,
+                                upscale=Upscale.smaa_tu4x(2.0)))
+    try_cfg("frame_ms_reuse",
+            dataclasses.replace(flagship, temporal_reuse=True))
+    try_cfg("frame_ms_spatial",
+            dataclasses.replace(flagship, temporal_reuse=True,
+                                emissive_spatial_reuse=True,
+                                indirect_spatial_reuse=True))
+
+    # BASELINE config 5: city — high instance count, per-frame on-device
+    # refit (animated emissive sphere), SMAA TU4X, HDR (examples/city.py /
+    # city.rs:144-199). Frame cost = update_scene(fast, device) + render.
+    try:
+        from examples.city import build_scene as build_city
+
+        city_settings = dataclasses.replace(
+            HikariSettings(), upscale=Upscale.smaa_tu4x(2.0))
+        city_cam = Camera.from_look_at(
+            (0.0, 2.5, 20.0), (0, 0, 0), width=width, height=height,
+            hdr=True)
+        rc = Renderer(build_city(), city_cam, city_settings)
+        # warm both programs (refit + render)
+        rc.update_scene(build_city(sphere_angle=0.001), fast=True)
+        jax.block_until_ready(rc.render_frame())
+        refit_ms, total = [], []
+        for rep in range(2):
+            t0 = time.perf_counter()
+            for f in range(8):
+                ta = time.perf_counter()
+                rc.update_scene(
+                    build_city(sphere_angle=0.2 * (f + 1) / 60.0), fast=True)
+                refit_ms.append((time.perf_counter() - ta) * 1e3)
+                img = rc.render_frame()
+            jax.block_until_ready(img)
+            total.append((time.perf_counter() - t0) / 8)
+        out["frame_ms_city"] = round(min(total) * 1e3, 3)
+        out["city_refit_ms"] = round(float(np.median(refit_ms)), 3)
+        out["city_instances"] = int(rc.gpu_scene.num_instances)
+        out["city_triangles"] = int(rc.gpu_scene.num_triangles)
+    except Exception as e:  # pragma: no cover
+        out["frame_ms_city_error"] = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps(out))
 
 

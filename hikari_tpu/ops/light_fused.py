@@ -205,24 +205,27 @@ def _kbf16_unpair(lane):
 
 
 def _kunorm16_pair(a, b):
-    ua = jnp.round(jnp.clip(a, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
-    ub = jnp.round(jnp.clip(b, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+    # Mosaic has no f32<->u32 casts; the values fit i32, so route there
+    ua = jnp.round(jnp.clip(a, 0.0, 1.0) * 65535.0) \
+        .astype(jnp.int32).astype(jnp.uint32)
+    ub = jnp.round(jnp.clip(b, 0.0, 1.0) * 65535.0) \
+        .astype(jnp.int32).astype(jnp.uint32)
     return _fbits(ua | (ub << 16))
 
 
 def _kunorm16_unpair(lane):
     u = _bits(lane)
-    return ((u & 0xFFFF).astype(jnp.float32) / 65535.0,
-            (u >> 16).astype(jnp.float32) / 65535.0)
+    return ((u & 0xFFFF).astype(jnp.int32).astype(jnp.float32) / 65535.0,
+            (u >> 16).astype(jnp.int32).astype(jnp.float32) / 65535.0)
 
 
 def _ksnorm8_vec(n3, extra_u8):
     def enc(v):
         return jnp.round((jnp.clip(v, -1.0, 1.0) * 0.5 + 0.5)
-                         * 255.0).astype(jnp.uint32)
+                         * 255.0).astype(jnp.int32).astype(jnp.uint32)
 
     word = (enc(n3[0]) | (enc(n3[1]) << 8) | (enc(n3[2]) << 16)
-            | (extra_u8.astype(jnp.uint32) << 24))
+            | (extra_u8.astype(jnp.int32).astype(jnp.uint32) << 24))
     return _fbits(word)
 
 
@@ -230,15 +233,22 @@ def _ksnorm8_unvec(lane):
     u = _bits(lane)
 
     def dec(shift):
-        return ((u >> shift) & 0xFF).astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        return (((u >> shift) & 0xFF).astype(jnp.int32)
+                .astype(jnp.float32) / 255.0 * 2.0 - 1.0)
 
-    return (dec(0), dec(8), dec(16)), (u >> 24).astype(jnp.float32)
+    return (dec(0), dec(8), dec(16)), \
+        (u >> 24).astype(jnp.int32).astype(jnp.float32)
 
 
 def _unpack_prev(ref):
     """Gathered prev-reservoir planes ([bh,16,w] block ref) -> dict of
     [bh,w] planes (ops/reservoir.py unpack, u32 math)."""
-    t = lambda i: ref[:, i, :]
+    return _unpack_take(lambda i: ref[:, i, :])
+
+
+def _unpack_take(t):
+    """Reservoir unpack from a plane accessor t(i) -> [bh,w] (shared by
+    light_fused and spatial_fused, which reads rolled window slices)."""
     rad01 = _kbf16_unpair(t(8))
     rad23 = _kbf16_unpair(t(9))
     rnd01 = _kunorm16_unpair(t(10))
@@ -875,7 +885,7 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
             s2 = cur_sample(cand, rad)
             s2.update(sp)
             gate = valid & ((is_val < 0.5) | (r["count"] < 4.0))
-            r2 = _rsv_clamp(_rsv_update(r, s2, w_new, gate),
+            rcur = _rsv_clamp(_rsv_update(r, s2, w_new, gate),
                             params[0, _P_MAXCNT])
             # validation retrace of the reservoir's remembered sample
             # (light.wgsl:1156-1213); computed every frame, applied only on
@@ -947,32 +957,32 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 _lum(s2v["rad_r"], s2v["rad_g"], s2v["rad_b"])
                 / jnp.maximum(cand_v["p"], 1e-30), 0.0)
             take_v = (is_val > 0.5) & lum_miss
-            r2 = _rsv_where(take_v, _rsv_set(s2v, w_new_v), r2)
+            rcur = _rsv_where(take_v, _rsv_set(s2v, w_new_v), rcur)
             # finalize (light.wgsl:1216-1259)
-            tot = r2["count"] * _lum(r2["rad_r"], r2["rad_g"], r2["rad_b"])
-            r2["w"] = jnp.where(tot > 0.0,
-                                r2["w_sum"] / jnp.maximum(tot, 1e-30), 0.0)
+            tot = rcur["count"] * _lum(rcur["rad_r"], rcur["rad_g"], rcur["rad_b"])
+            rcur["w"] = jnp.where(tot > 0.0,
+                                rcur["w_sum"] / jnp.maximum(tot, 1e-30), 0.0)
             for k, v in (("vpx", px), ("vpy", py), ("vpz", pz),
                          ("vpd", depth), ("vnx", nx), ("vny", ny),
                          ("vnz", nz)):
-                r2[k] = v
-            r2["life"] = r2["life"] + 1.0
-            cnt = jnp.maximum(r2["count"], 1e-30)
-            var = r2["w2_sum"] / cnt - (r2["w_sum"] / cnt) ** 2
-            var = jnp.where(r2["count"] < 1.0, var, var / cnt)
+                rcur[k] = v
+            rcur["life"] = rcur["life"] + 1.0
+            cnt = jnp.maximum(rcur["count"], 1e-30)
+            var = rcur["w2_sum"] / cnt - (rcur["w_sum"] / cnt) ** 2
+            var = jnp.where(rcur["count"] < 1.0, var, var / cnt)
             var = jnp.where(valid, jnp.minimum(var, 10.0), 0.0)
-            r2 = _rsv_zero_where(~valid, r2)
-            ldx, ldy, ldz = _rsqrt_n(r2["spx"] - r2["vpx"],
-                                     r2["spy"] - r2["vpy"],
-                                     r2["spz"] - r2["vpz"])
+            rcur = _rsv_zero_where(~valid, rcur)
+            ldx, ldy, ldz = _rsqrt_n(rcur["spx"] - rcur["vpx"],
+                                     rcur["spy"] - rcur["vpy"],
+                                     rcur["spz"] - rcur["vpz"])
             o_r, o_g, o_b = _shade(surf, amb_r, amb_g, amb_b, vx, vy, vz,
                                    nx, ny, nz, ldx, ldy, ldz,
-                                   r2["rad_r"], r2["rad_g"], r2["rad_b"],
-                                   r2["rad_a"])
-            o_r = o_r * r2["w"]
-            o_g = o_g * r2["w"]
-            o_b = o_b * r2["w"]
-            return (o_r, o_g, o_b), var, r2
+                                   rcur["rad_r"], rcur["rad_g"], rcur["rad_b"],
+                                   rcur["rad_a"])
+            o_r = o_r * rcur["w"]
+            o_g = o_g * rcur["w"]
+            o_b = o_b * rcur["w"]
+            return (o_r, o_g, o_b), var, rcur
 
         def shade_channel(cand, directional: bool):
             """Candidate -> shadow -> input_radiance -> shading * w
@@ -1345,6 +1355,10 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
     reprojection-gathered [h,16,w] reservoir tensors, one per active
     channel in d/e/i order, already in_strict-masked) and returns
     {d,e,i}_var [h,w] + {d,e,i}_packed [h,16,w] new temporal carries."""
+    if not interpret:
+        # Mosaic has no CPU backend; on the CPU test platform the kernel
+        # runs under the Pallas interpreter (same pattern as reproj_gather)
+        interpret = not any(d.platform != "cpu" for d in jax.devices())
     h, w = render_size
     bh = _block_h(w)
     hp = -(-h // bh) * bh
@@ -1441,6 +1455,10 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
             + [ray_spec] * 13 + [rsv_spec] * len(prevs_l),
             out_specs=out_specs,
             out_shape=out_shape,
+            # the temporal variant's live reservoir state spills past the
+            # default 16 MB scoped-vmem budget by a hair; raise the cap
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(params, tris, attrs, em_tris, em_attrs, mats, *ops_)
 
     from hikari_tpu.parallel import shard as _sh

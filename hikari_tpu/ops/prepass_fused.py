@@ -492,6 +492,10 @@ def prepass_fused(scene, view, prev_view, jitter, size, dec_size=None,
     except depth_gradient, which uses a step-2 forward difference)."""
     from hikari_tpu.ops.light_fused import _pack8
 
+    if not interpret:
+        # CPU test platform: run under the Pallas interpreter
+        interpret = not any(d.platform != "cpu" for d in jax.devices())
+
     h, w = size
     tris = _pack8(scene["tri_pos_flat"])
     attrs = _pack8(jnp.concatenate(
@@ -545,6 +549,9 @@ def prepass_fused_quads(scene, view, prev_view, jitter, size, dec_size,
     [h,w]}}. The scene tables are identical to prepass_fused's, so XLA
     CSEs the packing when both run in one jitted frame."""
     from hikari_tpu.ops.light_fused import _pack8
+
+    if not interpret:
+        interpret = not any(d.platform != "cpu" for d in jax.devices())
 
     h, w = size
     tris = _pack8(scene["tri_pos_flat"])

@@ -49,6 +49,9 @@ YT = 2 * R + 1          # y taps
 XT = 2 * R + 2          # x taps
 WIN_R = GROUP_H + YT - 1          # window rows
 _O_MAX = NCK * CHUNK - (GROUP_W - 1 + XT)  # max in-window roll offset
+# scalar-prefetch pack encoding (row0, cx, o) -> (row0*CXF + cx)*CHUNK + o;
+# CXF bounds the padded source's x-chunk count (64 chunks = ~8k px wide)
+_CXF = 64
 
 
 def _make_kernel(n_src: int, fp: int):
@@ -61,8 +64,8 @@ def _make_kernel(n_src: int, fp: int):
 
         def dma(slot, gi, s, j):
             pk = pk_ref[gi]
-            row0 = pk // (CHUNK * 16)
-            rem = pk - row0 * (CHUNK * 16)
+            row0 = pk // (CHUNK * _CXF)
+            rem = pk - row0 * (CHUNK * _CXF)
             cx = rem // CHUNK
             return pltpu.make_async_copy(
                 srcs[s].at[pl.ds(row0, WIN_R), :, cx + j, :],
@@ -137,7 +140,7 @@ def _group_pack(piy, pix, yhi, xhi, hp, wp, hs_p, ws_p):
     cx = jnp.clip(xw0 // CHUNK, 0, ws_p // CHUNK - NCK)
     o = jnp.clip(xw0 - cx * CHUNK, 0, _O_MAX)
     x0 = cx * CHUNK + o
-    pack = (row0 * 16 + cx) * CHUNK + o                        # [gy, gx]
+    pack = (row0 * _CXF + cx) * CHUNK + o                      # [gy, gx]
     # tap code vs the ACTUAL window origin (clamps self-invalidate)
     row0_e = jnp.repeat(jnp.repeat(row0, GROUP_H, 0), GROUP_W, 1)
     x0_e = jnp.repeat(jnp.repeat(x0, GROUP_H, 0), GROUP_W, 1)
@@ -165,6 +168,10 @@ def _gather_impl(sources: Sequence, piy, pix, interpret: bool) -> List:
     my, mx = GROUP_H, CHUNK
     hs_p = hs + 2 * my
     ws_p = -(-(w + 2 * mx) // CHUNK) * CHUNK
+    # the pack encoding's cx field must hold every window chunk index;
+    # fail loudly instead of silently corrupting gathered reservoirs
+    assert ws_p // CHUNK - NCK < _CXF, (
+        f"render width {w} exceeds the {_CXF}-chunk pack-encoding range")
     srcs = []
     for s in sources:
         assert s.shape == (hs, fp, w)

@@ -158,6 +158,13 @@ def test_fused_temporal_matches_modular_over_frames(monkeypatch):
     gpu = emissive_scene().compile()
     scene = {k: jnp.asarray(v) for k, v in gpu.arrays.items()}
     tracer = make_tracer(gpu.num_triangles)
+    # On CPU make_tracer yields kind 'brute_force', which fails
+    # build_render_frame's fused gates — stub the kind so the frame
+    # really routes through the fused kernels (they auto-interpret on
+    # the CPU platform); the modular run still calls the real XLA
+    # tracer functions, only the gate sees the stub.
+    monkeypatch.setattr(tracer, "kind", "brute_force_pallas",
+                        raising=False)
     cam = Camera.from_look_at((3.0, 2.5, 3.0), (0, 0.5, 0),
                               width=SIZE[1], height=SIZE[0])
     view = {k: jnp.asarray(v) for k, v in cam.view_uniform().items()}
@@ -178,27 +185,43 @@ def test_fused_temporal_matches_modular_over_frames(monkeypatch):
         temporal_reuse=True, track_de=False, track_ind=False,
         tracer_kind="brute_force_pallas", has_sun=gpu.has_sun, bounces=1)
 
+    calls = []
+    real_fused_lighting = _lf.fused_lighting
+
+    def spy(*a, **k):
+        calls.append(k.get("temporal"))
+        return real_fused_lighting(*a, **k)
+
     def run(force_modular):
+        # the gates are evaluated at TRACE time (first jitted call), so
+        # the stubs must stay active through the whole frame loop
+        saved_gate = _lf.fused_eligible
+        _lf.fused_lighting = spy
         if force_modular:
-            monkeypatch.setattr(_lf, "fused_eligible",
-                                lambda *a, **k: False)
-        fn = build_render_frame(settings, SIZE, tracer, no_texture=True,
-                                num_emissives=gpu.num_emissives,
-                                has_sun=gpu.has_sun)
-        if force_modular:
-            monkeypatch.undo()
-        carry = init_carry(SIZE, settings)
-        imgs, carries = [], []
-        jfn = jax.jit(fn)
-        for i in range(1, 5):
-            frame = make_frame_uniform(settings, i)
-            img, _, carry = jfn(scene, view, frame, noise, carry)
-            imgs.append(np.asarray(img))
-            carries.append(jax.tree.map(np.asarray, carry))
-        return imgs, carries
+            _lf.fused_eligible = lambda *a, **k: False
+        try:
+            fn = build_render_frame(settings, SIZE, tracer,
+                                    no_texture=True,
+                                    num_emissives=gpu.num_emissives,
+                                    has_sun=gpu.has_sun)
+            carry = init_carry(SIZE, settings)
+            imgs, carries = [], []
+            jfn = jax.jit(fn)
+            for i in range(1, 5):
+                frame = make_frame_uniform(settings, i)
+                img, _, carry = jfn(scene, view, frame, noise, carry)
+                imgs.append(np.asarray(img))
+                carries.append(jax.tree.map(np.asarray, carry))
+            return imgs, carries
+        finally:
+            _lf.fused_eligible = saved_gate
+            _lf.fused_lighting = real_fused_lighting
 
     imgs_m, carries_m = run(True)
+    assert not calls, "modular run must not invoke the fused kernel"
     imgs_f, carries_f = run(False)
+    assert calls and calls[0] is True, \
+        "fused run must trace fused_lighting(temporal=True)"
     for i, (a, b) in enumerate(zip(imgs_m, imgs_f)):
         close = np.isclose(a, b, atol=5e-3, rtol=1e-2).all(axis=-1)
         assert close.mean() > 0.99, (i, close.mean())

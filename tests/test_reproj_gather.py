@@ -64,6 +64,26 @@ def test_reproj_gather_sharded_matches_single():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_reproj_gather_wide_source_decodes_exactly():
+    """w=2560 exceeds the old 4-bit cx pack field (ADVICE r3 low): the
+    widened encoding must keep the match-or-zero contract at wide
+    renders instead of silently returning wrong reservoir data."""
+    rng = np.random.default_rng(3)
+    h, w, F = 32, 2560, 4
+    src = rng.normal(size=(h, F, w)).astype(np.float32)
+    piy, pix = _field(h, w, -2.0, 37.0)
+    out, = reproj_gather([jnp.asarray(src)], jnp.asarray(piy),
+                         jnp.asarray(pix))
+    ref = np.moveaxis(src[piy, :, pix], -1, 1)
+    got = np.asarray(out)
+    assert ((got == ref) | (got == 0)).all()
+    yy, xx = np.mgrid[0:h, 0:w]
+    interior = ((yy - 2.0 >= 8) & (yy - 2.0 <= h - 9)
+                & (xx + 37.0 >= 128) & (xx + 37.0 <= w - 129))
+    match = (got == ref).all(axis=1)
+    assert match[interior].mean() > 0.93, match[interior].mean()
+
+
 def test_reproj_gather_static_identity_is_exact():
     """Zero motion: every pixel in-band -> bit-exact everywhere."""
     rng = np.random.default_rng(1)
