@@ -41,17 +41,58 @@ def _post_size(settings: HikariSettings, render_size):
     return render_size
 
 
-def init_carry(full_size, settings: HikariSettings):
+def spatial_fused_active(scene, settings: HikariSettings, tracer,
+                         no_texture: bool, num_emissives: int,
+                         has_sun: bool, full_size) -> bool:
+    """Static gate for the FUSED spatial-ReSTIR path (ops/spatial_fused.py):
+    requires the fused temporal mega-kernel (the spatial kernel consumes
+    its channel-plane reservoir outputs), no checkerboard, no per-pixel tap
+    scramble. When active the spatial carries live in the channel-plane
+    [h,16,w] layout (banded-gatherable); otherwise the modular path keeps
+    the packed [h,w,16] layout. Renderer and build_render_frame must agree
+    — both call this ONE predicate."""
+    from hikari_tpu.ops import light_fused as _lf
+    from hikari_tpu.ops import spatial_fused as _sf
+
+    track_de = settings.emissive_spatial_reuse
+    track_ind = (settings.indirect_spatial_reuse
+                 and settings.indirect_bounces > 0)
+    if not (track_de or track_ind):
+        return False
+    if not settings.temporal_reuse:
+        return False
+    render_size = scaled_size(full_size, settings.upscale_ratio)
+    ckb = settings.checkerboard_lighting and render_size[1] % 2 == 0
+    if ckb or settings.spatial_tap_scramble:
+        return False
+    if not _sf.spatial_fused_eligible(
+            scene, no_texture=no_texture,
+            scramble=settings.spatial_tap_scramble):
+        return False
+    return _lf.fused_eligible(
+        scene, no_texture=no_texture, num_emissives=num_emissives,
+        temporal_reuse=True, track_de=False, track_ind=False,
+        tracer_kind=getattr(tracer, "kind", ""), has_sun=has_sun,
+        bounces=settings.indirect_bounces, ckb=False)
+
+
+def init_carry(full_size, settings: HikariSettings,
+               spatial_planes: bool = False):
     """Persistent frame state (the functional replacement for the
-    reference's ping-pong buffers and history textures)."""
+    reference's ping-pong buffers and history textures).
+
+    spatial_planes=True stores the spatial-reuse carries in the
+    channel-plane [h,16,w] layout for the fused spatial path (must match
+    spatial_fused_active for the scene/settings this carry will drive)."""
     render_size = scaled_size(full_size, settings.upscale_ratio)
     h, w = full_size
     rh, rw = render_size
     zeros4 = lambda s: jnp.zeros(s + (4,), jnp.float32)
-    packed = lambda: jnp.zeros((rh, rw, rsv.PACKED_WIDTH), jnp.float32)
     # temporal carries use the channel-plane layout [h, 16, w] consumed by
     # the banded reprojection gather (ops/reproj_gather.py)
     planes = lambda: jnp.zeros((rh, rsv.PACKED_WIDTH, rw), jnp.float32)
+    packed = planes if spatial_planes else (
+        lambda: jnp.zeros((rh, rw, rsv.PACKED_WIDTH), jnp.float32))
     return {
         "frame_number": jnp.uint32(0),
         "direct_temporal": planes(),
@@ -202,12 +243,25 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         prev_rs = [rsv.empty_reservoir(light_size) for _ in range(3)]
         gathered_chans = [c for c in range(3)
                           if chan_active[c] and settings.temporal_reuse]
+        # the fused spatial path gathers its [h,16,w] spatial carries in
+        # the SAME banded gather call as the temporal carries
+        fused_sp = (not debug and spatial_fused_active(
+            scene, settings, tracer, no_texture, num_emissives, has_sun,
+            full_size))
+        sp_sources = []
+        if fused_sp:
+            if track_de and num_emissives > 0:
+                sp_sources.append("spatial_de")
+            if track_ind and settings.indirect_bounces > 0:
+                sp_sources.append("spatial_indirect")
         gathered_planes = {}
-        if gathered_chans:
+        sp_gathered = {}
+        if gathered_chans or sp_sources:
             from hikari_tpu.ops.reproj_gather import reproj_gather
 
             outs = reproj_gather([carry[carry_keys[c]]
-                                  for c in gathered_chans],
+                                  for c in gathered_chans]
+                                 + [carry[k] for k in sp_sources],
                                  reproj["piy"], reproj["pix"], mesh=mesh)
             for j, c in enumerate(gathered_chans):
                 p = jnp.where(reproj["in_strict"][:, None, :], outs[j], 0.0)
@@ -218,6 +272,10 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 if ckb:
                     r = {k: ckb_ops.compress(v, par) for k, v in r.items()}
                 prev_rs[c] = r
+            for j, k in enumerate(sp_sources):
+                p = outs[len(gathered_chans) + j]
+                sp_gathered[k] = jnp.where(reproj["in_strict"][:, None, :],
+                                           p, 0.0)
 
         # --- fused mega-kernel fast path: the whole no-reuse lighting
         # pipeline (all three channels: candidate select, probe, shadow,
@@ -227,12 +285,16 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         # fusions that each round-trip HBM (round-2 profile).
         from hikari_tpu.ops import light_fused as _lf
 
+        # with the fused spatial path active the track flags are handled
+        # in-kernel (flags/scatter outputs + ops/spatial_fused.py), so they
+        # do not disqualify the mega-kernel
         use_fused = (
             not debug
             and _lf.fused_eligible(
                 scene, no_texture=no_texture, num_emissives=num_emissives,
-                temporal_reuse=settings.temporal_reuse, track_de=track_de,
-                track_ind=track_ind,
+                temporal_reuse=settings.temporal_reuse,
+                track_de=track_de and not fused_sp,
+                track_ind=track_ind and not fused_sp,
                 tracer_kind=getattr(tracer, "kind", ""),
                 has_sun=has_sun, bounces=settings.indirect_bounces,
                 ckb=ckb))
@@ -252,7 +314,9 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 scene, g_l, view, frame, rand_l, has_sun=has_sun,
                 num_emissives=num_emissives,
                 bounces=settings.indirect_bounces, render_size=light_size,
-                temporal=reuse, prev_planes=prev_planes)
+                temporal=reuse, prev_planes=prev_planes,
+                track_de=track_de and fused_sp,
+                track_ind=track_ind and fused_sp)
             if reuse:
                 if has_sun:
                     d_temporal_packed = fl["d_packed"]
@@ -270,15 +334,68 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 d = restir.emissive_surface_channel(scene, g, no_texture,
                                                     render_size)
                 d_render, d_var = d["render"], d["variance"]
+
+            def apply_scatters(prev_p, slots):
+                """Inline analog of the modular path's cross-pixel scatters
+                into the spatial buffer (restir.py:267-271, 414-417): the
+                scatter targets the same reprojected coords the gather just
+                read, so scatter-then-gather collapses to a per-pixel
+                replace (collisions resolve arbitrarily in both, the same
+                benign race the reference's device writes have)."""
+                empty_planes = rsv.pack_reservoir_planes(
+                    rsv.empty_reservoir((1, 1)))        # [1,16,1] bcast
+                in_loose = reproj["in_loose"]
+                for slot in slots:
+                    flags = fl[f"{slot}_flags"]
+                    gate_m = (jnp.mod(flags, 2.0) >= 1.0) & in_loose
+                    prev_p = jnp.where(gate_m[:, None, :], empty_planes,
+                                       prev_p)
+                    if f"{slot}_scatter" in fl:
+                        val_m = (flags >= 2.0) & in_loose
+                        prev_p = jnp.where(val_m[:, None, :],
+                                           fl[f"{slot}_scatter"], prev_p)
+                return prev_p
+
+            sp_run = {}
+            if "spatial_de" in sp_gathered:
+                from hikari_tpu.ops import spatial_fused as _sf
+
+                prev_de = apply_scatters(
+                    sp_gathered["spatial_de"],
+                    [s for s, on in (("d", has_sun), ("e", True)) if on])
+                sp_run["e"] = _sf.spatial_fused(
+                    scene, g, view, frame, fl["e_packed"], prev_de,
+                    emissive_lit=True, render_size=render_size)
+                spatial_de = sp_run["e"]["spatial_planes"]
+            if "spatial_indirect" in sp_gathered:
+                from hikari_tpu.ops import spatial_fused as _sf
+
+                prev_ind = apply_scatters(
+                    sp_gathered["spatial_indirect"], ["i"])
+                sp_run["i"] = _sf.spatial_fused(
+                    scene, g, view, frame, fl["i_packed"], prev_ind,
+                    emissive_lit=False, render_size=render_size)
+                spatial_ind = sp_run["i"]["spatial_planes"]
+
             if num_emissives > 0:
-                deferred.append(("e", fl["e_render"],
-                                 fl["e_var"] if reuse else zero_l))
+                if "e" in sp_run:
+                    e_render = sp_run["e"]["render"]
+                    e_var = jnp.where(jnp.isnan(sp_run["e"]["variance"]),
+                                      fl["e_var"], sp_run["e"]["variance"])
+                else:
+                    deferred.append(("e", fl["e_render"],
+                                     fl["e_var"] if reuse else zero_l))
             else:
                 e_render = jnp.zeros((rh2, rw2, 4))
                 e_var = jnp.zeros((rh2, rw2))
             if settings.indirect_bounces > 0:
-                deferred.append(("i", fl["i_render"],
-                                 fl["i_var"] if reuse else zero_l))
+                if "i" in sp_run:
+                    i_render = sp_run["i"]["render"]
+                    i_var = jnp.where(jnp.isnan(sp_run["i"]["variance"]),
+                                      fl["i_var"], sp_run["i"]["variance"])
+                else:
+                    deferred.append(("i", fl["i_render"],
+                                     fl["i_var"] if reuse else zero_l))
             else:
                 i_render = jnp.zeros((rh2, rw2, 4))
                 i_var = jnp.zeros((rh2, rw2))

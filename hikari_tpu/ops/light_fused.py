@@ -136,7 +136,7 @@ def _pack8(table, width=16):
     return t.reshape(rows // 8, 8 * width)
 
 
-def _pack_params(scene, view, frame, n_em):
+def _pack_params(scene, view, frame, n_em, has_sun=True):
     z = jnp.zeros((_LANES,), jnp.float32)
     row0 = z
     row0 = row0.at[_P_DIRL:_P_DIRL + 3].set(scene["dir_to_light"])
@@ -170,8 +170,12 @@ def _pack_params(scene, view, frame, n_em):
     fnum = frame["number"]
     d_iv = jnp.maximum(frame["direct_validate_interval"], 1)
     e_iv = jnp.maximum(frame["emissive_validate_interval"], 1)
-    row2 = row2.at[0].set(((fnum % d_iv) == 0).astype(jnp.float32))
-    row2 = row2.at[1].set(((fnum % e_iv) == 0).astype(jnp.float32))
+    # flags only for ACTIVE channels: they select the validation-retrace
+    # kernel variant, so an absent channel must not force the slow path
+    row2 = row2.at[0].set(((fnum % d_iv) == 0).astype(jnp.float32)
+                          * float(has_sun))
+    row2 = row2.at[1].set(((fnum % e_iv) == 0).astype(jnp.float32)
+                          * float(n_em > 0))
     return jnp.stack([row0, row1, row2])         # [3,128]
 
 
@@ -587,13 +591,22 @@ def _trace_full_sweep(tris_ref, attr_ref, n_rows, ox, oy, oz, dx, dy, dz,
 
 def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                   n_em: int, n_alias: int, n_em_tris: int, n_mats: int,
-                  n_tri_rows: int, n_em_rows: int, temporal: bool = False):
+                  n_tri_rows: int, n_em_rows: int, temporal: bool = False,
+                  validation: bool = True, track_de: bool = False,
+                  track_ind: bool = False):
     """Returns the fused kernel for one static configuration. With
     temporal=True the kernel additionally takes the reprojection-gathered
     previous reservoir planes per active channel and runs the FULL
     temporal-ReSTIR path in-kernel (gates, WRS merge, validation retrace
     masked by the per-channel validation flag, finalize, repack) —
-    restir.direct_lit / indirect_lit_ambient with temporal_reuse=True."""
+    restir.direct_lit / indirect_lit_ambient with temporal_reuse=True.
+
+    validation=False compiles the variant WITHOUT the validation retrace
+    (the candidate re-select + probe + shadow sweep of the reservoir's
+    remembered sample, ~1/3 of the temporal kernel's cost): on frames
+    where no channel's validate interval fires, the retrace result is
+    discarded anyway (take_v = 0), so fused_lighting dispatches this
+    cheaper variant via lax.cond on the per-frame flags."""
 
     def select_emissive_candidate(params, em_tris, em_attrs, rand,
                                   px, py, pz, nx, ny, nz, excl_f):
@@ -793,7 +806,9 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
         nrm_n = _rsqrt_n(nx, ny, nz)
 
         def gates(r):
-            """check_previous_reservoir (light.wgsl:917-935)."""
+            """check_previous_reservoir (light.wgsl:917-935). Returns the
+            gated reservoir and the miss mask (the miss mask drives the
+            spatial-buffer invalidation scatter when tracking)."""
             ratio = r["vpd"] / jnp.where(depth == 0.0, 1e-30, depth)
             ratio = jnp.where(ratio < 1.0,
                               1.0 / jnp.where(ratio == 0.0, 1e-30, ratio),
@@ -802,7 +817,8 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
             inst_miss = r["vinst"] != inst_f
             normal_miss = _dot(nrm_n[0], nrm_n[1], nrm_n[2],
                                r["vnx"], r["vny"], r["vnz"]) < 0.9
-            return _rsv_zero_where(depth_miss | inst_miss | normal_miss, r)
+            miss = depth_miss | inst_miss | normal_miss
+            return _rsv_zero_where(miss, r), miss
 
         def cur_sample(cand, rad):
             """This frame's candidate as reservoir-sample fields."""
@@ -878,8 +894,13 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
 
         def reuse_channel(cand_fn, prev_ref, directional: bool,
                           is_val):
-            """Full temporal path (restir.direct_lit temporal branch)."""
-            r = gates(_unpack_prev(prev_ref))
+            """Full temporal path (restir.direct_lit temporal branch).
+
+            Returns ((r,g,b), var, reservoir, trk) where trk =
+            (gate_miss, val_miss, scatter_reservoir) feeds the caller's
+            spatial-buffer invalidation replace when tracking spatial
+            reuse (the analog of light.wgsl:1092-1095 / 1199-1202)."""
+            r, gate_miss = gates(_unpack_prev(prev_ref))
             cand = cand_fn((r0, r1, r2, r3))
             rad, w_new, sp = trace_candidate(cand, directional)
             s2 = cur_sample(cand, rad)
@@ -887,77 +908,82 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
             gate = valid & ((is_val < 0.5) | (r["count"] < 4.0))
             rcur = _rsv_clamp(_rsv_update(r, s2, w_new, gate),
                             params[0, _P_MAXCNT])
+            r_scatter = dict(rcur)
+            val_miss = jnp.zeros_like(valid)
             # validation retrace of the reservoir's remembered sample
-            # (light.wgsl:1156-1213); computed every frame, applied only on
-            # validation frames — for this kernel's scene class the extra
-            # sweep is ~0.1 ms vs compiling 2x kernel variants per flag
-            r_rand = (r["rnd0"], r["rnd1"], r["rnd2"], r["rnd3"])
-            cand_v = cand_fn(r_rand, pos=(r["vpx"], r["vpy"], r["vpz"]),
-                             nrm=(r["vnx"], r["vny"], r["vnz"]))
-            rvx, rvy, rvz = _rsqrt_n(r["spx"] - px, r["spy"] - py,
-                                     r["spz"] - pz)
-            trace_ok_v = (_dot(cand_v["dx"], cand_v["dy"], cand_v["dz"],
-                               r["vnx"], r["vny"], r["vnz"]) > 0.0) \
-                & (cand_v["p"] > 0.0)
-            if not directional:
-                trace_ok_v &= cand_v["em_inst"] >= 0.0
-            rox = px + nx * RAY_BIAS
-            roy = py + ny * RAY_BIAS
-            roz = pz + nz * RAY_BIAS
-            occ_v, sht_v, shi_v = _shadow_sweep(
-                tris, n_tri_rows, rox, roy, roz, rvx, rvy, rvz,
-                cand_v["maxd"], cand_v["em_inst"])
-            vi_inst = jnp.where(occ_v, shi_v, cand_v["info_inst"])
-            vi_mat = jnp.where(occ_v, -1.0, cand_v["info_mat"])
-            vspx = jnp.where(occ_v, rox + rvx * sht_v, cand_v["spx"])
-            vspy = jnp.where(occ_v, roy + rvy * sht_v, cand_v["spy"])
-            vspz = jnp.where(occ_v, roz + rvz * sht_v, cand_v["spz"])
-            vspw = jnp.where(occ_v, 1.0, cand_v["spw"])
-            vsnx = jnp.where(occ_v, 0.0, cand_v["snx"])
-            vsny = jnp.where(occ_v, 0.0, cand_v["sny"])
-            vsnz = jnp.where(occ_v, 0.0, cand_v["snz"])
-            vmiss = vi_inst < 0.0
-            if directional:
-                cosdl_v = _dot(rvx, rvy, rvz, params[0, _P_DIRL],
-                               params[0, _P_DIRL + 1],
-                               params[0, _P_DIRL + 2])
-                vtake = vmiss & (cosdl_v >= params[0, _P_COS_SOLAR])
-                vrad_r = jnp.where(vtake, params[0, _P_DIRC], 0.0)
-                vrad_g = jnp.where(vtake, params[0, _P_DIRC + 1], 0.0)
-                vrad_b = jnp.where(vtake, params[0, _P_DIRC + 2], 0.0)
-                vrad_a = 1.0 - (vmiss & ~vtake).astype(jnp.float32)
-            else:
-                vsurf = _mat_sweep(mats, n_mats, jnp.maximum(vi_mat, 0.0))
-                vr_, vg_, vb_, va_ = vsurf.em
-                vtake = (~vmiss) & (vi_inst == cand_v["em_inst"])
-                v255 = 255.0 * va_
-                vrad_r = jnp.where(vtake, v255 * vr_, 0.0)
-                vrad_g = jnp.where(vtake, v255 * vg_, 0.0)
-                vrad_b = jnp.where(vtake, v255 * vb_, 0.0)
-                vrad_a = 1.0 - vmiss.astype(jnp.float32)
-            vrad_r = jnp.where(trace_ok_v, vrad_r, 0.0)
-            vrad_g = jnp.where(trace_ok_v, vrad_g, 0.0)
-            vrad_b = jnp.where(trace_ok_v, vrad_b, 0.0)
-            vrad_a = jnp.where(trace_ok_v, vrad_a, 0.0)
-            reuse_validate = r["count"] >= 4.0
-            s2v = dict(s2)
-            for k, v in (("rnd0", r["rnd0"]), ("rnd1", r["rnd1"]),
-                         ("rnd2", r["rnd2"]), ("rnd3", r["rnd3"]),
-                         ("spx", vspx), ("spy", vspy), ("spz", vspz),
-                         ("spw", vspw), ("snx", vsnx), ("sny", vsny),
-                         ("snz", vsnz), ("rad_r", vrad_r),
-                         ("rad_g", vrad_g), ("rad_b", vrad_b),
-                         ("rad_a", vrad_a)):
-                s2v[k] = jnp.where(reuse_validate, v, s2[k])
-            lum_ratio = _lum(vrad_r, vrad_g, vrad_b) / jnp.maximum(
-                _lum(r["rad_r"], r["rad_g"], r["rad_b"]), 1e-4)
-            lum_miss = ((lum_ratio > 1.25) | (lum_ratio < 0.8)) & valid
-            w_new_v = jnp.where(
-                cand_v["p"] > 0.0,
-                _lum(s2v["rad_r"], s2v["rad_g"], s2v["rad_b"])
-                / jnp.maximum(cand_v["p"], 1e-30), 0.0)
-            take_v = (is_val > 0.5) & lum_miss
-            rcur = _rsv_where(take_v, _rsv_set(s2v, w_new_v), rcur)
+            # (light.wgsl:1156-1213): a full candidate re-select +
+            # probe + shadow sweep. Only applied on validation frames
+            # (take_v), so fused_lighting compiles a second variant
+            # without it and dispatches by the per-frame flags.
+            if validation:
+                r_rand = (r["rnd0"], r["rnd1"], r["rnd2"], r["rnd3"])
+                cand_v = cand_fn(r_rand, pos=(r["vpx"], r["vpy"], r["vpz"]),
+                                 nrm=(r["vnx"], r["vny"], r["vnz"]))
+                rvx, rvy, rvz = _rsqrt_n(r["spx"] - px, r["spy"] - py,
+                                         r["spz"] - pz)
+                trace_ok_v = (_dot(cand_v["dx"], cand_v["dy"], cand_v["dz"],
+                                   r["vnx"], r["vny"], r["vnz"]) > 0.0) \
+                    & (cand_v["p"] > 0.0)
+                if not directional:
+                    trace_ok_v &= cand_v["em_inst"] >= 0.0
+                rox = px + nx * RAY_BIAS
+                roy = py + ny * RAY_BIAS
+                roz = pz + nz * RAY_BIAS
+                occ_v, sht_v, shi_v = _shadow_sweep(
+                    tris, n_tri_rows, rox, roy, roz, rvx, rvy, rvz,
+                    cand_v["maxd"], cand_v["em_inst"])
+                vi_inst = jnp.where(occ_v, shi_v, cand_v["info_inst"])
+                vi_mat = jnp.where(occ_v, -1.0, cand_v["info_mat"])
+                vspx = jnp.where(occ_v, rox + rvx * sht_v, cand_v["spx"])
+                vspy = jnp.where(occ_v, roy + rvy * sht_v, cand_v["spy"])
+                vspz = jnp.where(occ_v, roz + rvz * sht_v, cand_v["spz"])
+                vspw = jnp.where(occ_v, 1.0, cand_v["spw"])
+                vsnx = jnp.where(occ_v, 0.0, cand_v["snx"])
+                vsny = jnp.where(occ_v, 0.0, cand_v["sny"])
+                vsnz = jnp.where(occ_v, 0.0, cand_v["snz"])
+                vmiss = vi_inst < 0.0
+                if directional:
+                    cosdl_v = _dot(rvx, rvy, rvz, params[0, _P_DIRL],
+                                   params[0, _P_DIRL + 1],
+                                   params[0, _P_DIRL + 2])
+                    vtake = vmiss & (cosdl_v >= params[0, _P_COS_SOLAR])
+                    vrad_r = jnp.where(vtake, params[0, _P_DIRC], 0.0)
+                    vrad_g = jnp.where(vtake, params[0, _P_DIRC + 1], 0.0)
+                    vrad_b = jnp.where(vtake, params[0, _P_DIRC + 2], 0.0)
+                    vrad_a = 1.0 - (vmiss & ~vtake).astype(jnp.float32)
+                else:
+                    vsurf = _mat_sweep(mats, n_mats, jnp.maximum(vi_mat, 0.0))
+                    vr_, vg_, vb_, va_ = vsurf.em
+                    vtake = (~vmiss) & (vi_inst == cand_v["em_inst"])
+                    v255 = 255.0 * va_
+                    vrad_r = jnp.where(vtake, v255 * vr_, 0.0)
+                    vrad_g = jnp.where(vtake, v255 * vg_, 0.0)
+                    vrad_b = jnp.where(vtake, v255 * vb_, 0.0)
+                    vrad_a = 1.0 - vmiss.astype(jnp.float32)
+                vrad_r = jnp.where(trace_ok_v, vrad_r, 0.0)
+                vrad_g = jnp.where(trace_ok_v, vrad_g, 0.0)
+                vrad_b = jnp.where(trace_ok_v, vrad_b, 0.0)
+                vrad_a = jnp.where(trace_ok_v, vrad_a, 0.0)
+                reuse_validate = r["count"] >= 4.0
+                s2v = dict(s2)
+                for k, v in (("rnd0", r["rnd0"]), ("rnd1", r["rnd1"]),
+                             ("rnd2", r["rnd2"]), ("rnd3", r["rnd3"]),
+                             ("spx", vspx), ("spy", vspy), ("spz", vspz),
+                             ("spw", vspw), ("snx", vsnx), ("sny", vsny),
+                             ("snz", vsnz), ("rad_r", vrad_r),
+                             ("rad_g", vrad_g), ("rad_b", vrad_b),
+                             ("rad_a", vrad_a)):
+                    s2v[k] = jnp.where(reuse_validate, v, s2[k])
+                lum_ratio = _lum(vrad_r, vrad_g, vrad_b) / jnp.maximum(
+                    _lum(r["rad_r"], r["rad_g"], r["rad_b"]), 1e-4)
+                lum_miss = ((lum_ratio > 1.25) | (lum_ratio < 0.8)) & valid
+                w_new_v = jnp.where(
+                    cand_v["p"] > 0.0,
+                    _lum(s2v["rad_r"], s2v["rad_g"], s2v["rad_b"])
+                    / jnp.maximum(cand_v["p"], 1e-30), 0.0)
+                take_v = (is_val > 0.5) & lum_miss
+                val_miss = take_v
+                rcur = _rsv_where(take_v, _rsv_set(s2v, w_new_v), rcur)
             # finalize (light.wgsl:1216-1259)
             tot = rcur["count"] * _lum(rcur["rad_r"], rcur["rad_g"], rcur["rad_b"])
             rcur["w"] = jnp.where(tot > 0.0,
@@ -982,7 +1008,8 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
             o_r = o_r * rcur["w"]
             o_g = o_g * rcur["w"]
             o_b = o_b * rcur["w"]
-            return (o_r, o_g, o_b), var, rcur
+            return (o_r, o_g, o_b), var, rcur, \
+                (gate_miss & valid, val_miss, r_scatter)
 
         def shade_channel(cand, directional: bool):
             """Candidate -> shadow -> input_radiance -> shading * w
@@ -1072,9 +1099,19 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 "spw": z, "snx": z, "sny": z, "snz": z,
             }
 
+        def emit_track(out_i, trk):
+            """flags plane (1 = reprojection-gate miss, +2 = validation
+            luminance miss) + the reservoir the validation scatter writes
+            (light.wgsl:1092-1095, 1199-1202)."""
+            gate_miss, val_miss, r_scatter = trk
+            outs[out_i][:] = (gate_miss.astype(jnp.float32)
+                              + 2.0 * val_miss.astype(jnp.float32))
+            _pack_out(outs[out_i + 1], r_scatter)
+            return out_i + 2
+
         if has_sun:
             if temporal:
-                (d_r, d_g, d_b), d_var, d_rsv = reuse_channel(
+                (d_r, d_g, d_b), d_var, d_rsv, d_trk = reuse_channel(
                     solar_cand, prev_refs[prev_i], True, params[2, 0])
                 prev_i += 1
                 outs[out_i][:] = jnp.where(valid, d_r + em_add * emr, 0.0)
@@ -1085,6 +1122,8 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 outs[out_i + 3][:] = d_var
                 _pack_out(outs[out_i + 4], d_rsv)
                 out_i += 5
+                if track_de:
+                    out_i = emit_track(out_i, d_trk)
             else:
                 cand_d = solar_cand((r0, r1, r2, r3))
                 d_r, d_g, d_b = shade_channel(cand_d, directional=True)
@@ -1105,7 +1144,7 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                     p3[0], p3[1], p3[2], n3[0], n3[1], n3[2], inst_f)
 
             if temporal:
-                (e_r, e_g, e_b), e_var, e_rsv = reuse_channel(
+                (e_r, e_g, e_b), e_var, e_rsv, e_trk = reuse_channel(
                     em_cand, prev_refs[prev_i], False, params[2, 1])
                 prev_i += 1
                 outs[out_i][:] = jnp.where(valid, e_r, 0.0)
@@ -1114,6 +1153,8 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 outs[out_i + 3][:] = e_var
                 _pack_out(outs[out_i + 4], e_rsv)
                 out_i += 5
+                if track_de:
+                    out_i = emit_track(out_i, e_trk)
             else:
                 cand_e = em_cand((r0, r1, r2, r3))
                 e_r, e_g, e_b = shade_channel(cand_e, directional=False)
@@ -1283,7 +1324,7 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 # indirect temporal ReSTIR (light.wgsl:1452-1497): the
                 # reservoir stores the RAW bounce radiance; shading happens
                 # from the merged sample (restir.indirect_lit_ambient)
-                r_i = gates(_unpack_prev(prev_refs[prev_i]))
+                r_i, i_gate_miss = gates(_unpack_prev(prev_refs[prev_i]))
                 prev_i += 1
                 s_ind = {
                     "rad_r": tot_r, "rad_g": tot_g, "rad_b": tot_b,
@@ -1325,6 +1366,12 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
                 outs[out_i + 3][:] = var
                 _pack_out(outs[out_i + 4], ri2)
                 out_i += 5
+                if track_ind:
+                    # the indirect channel has no validation retrace; only
+                    # the reprojection-gate invalidation (restir.py:632-635)
+                    outs[out_i][:] = (i_gate_miss & valid) \
+                        .astype(jnp.float32)
+                    out_i += 1
             else:
                 w2d = jnp.where(valid & (lum_s > 0.0),
                                 w_new / jnp.maximum(lum_s, 1e-30), 0.0)
@@ -1342,11 +1389,12 @@ def _build_kernel(*, has_sun: bool, emissive_on: bool, bounces: int,
 
 @partial(jax.jit, static_argnames=(
     "has_sun", "num_emissives", "bounces", "render_size", "interpret",
-    "temporal"))
+    "temporal", "track_de", "track_ind"))
 def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
                    num_emissives: int, bounces: int, render_size,
                    interpret: bool = False, temporal: bool = False,
-                   prev_planes=None):
+                   prev_planes=None, track_de: bool = False,
+                   track_ind: bool = False):
     """Run the mega-kernel. g: render-res (or checkerboard-compressed)
     G-buffer dict; rand: [h,w,4] blue noise. Returns dict with
     d_render/e_render/i_render [h,w,4] (variance is identically zero on the
@@ -1386,7 +1434,7 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
     n_mats = scene["mat_packed"].shape[0]
     mats = jnp.pad(scene["mat_packed"],
                    ((0, 0), (0, _LANES - scene["mat_packed"].shape[1])))
-    params = _pack_params(scene, view, frame, n_em)
+    params = _pack_params(scene, view, frame, n_em, has_sun=has_sun)
 
     depth = g["position"][..., 3]
     inst_f = g["instance_material"][..., 0].astype(jnp.int32) \
@@ -1418,11 +1466,17 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         assert prev_planes is not None and len(prev_planes) == n_chan
         prevs = [jnp.pad(p, ((0, hp - h), (0, 0), (0, 0)))
                  if hp > h else p for p in prev_planes]
-    kernel = _build_kernel(
+    build = partial(
+        _build_kernel,
         has_sun=has_sun, emissive_on=emissive_on, bounces=bounces,
         n_em=n_em, n_alias=n_alias, n_em_tris=n_em_tris, n_mats=n_mats,
         n_tri_rows=tris.shape[0], n_em_rows=em_tris.shape[0],
-        temporal=temporal)
+        temporal=temporal, track_de=track_de, track_ind=track_ind)
+    kernel = build()
+    # temporal: a second variant without the validation retrace, picked at
+    # runtime when no channel's validate interval fires this frame (the
+    # retrace is ~1/3 of the kernel; intervals 3/5 skip it 8/15 of frames)
+    kernel_noval = build(validation=False) if temporal else None
 
     def tab_spec(r):
         return pl.BlockSpec((r, _LANES), lambda i: (0, 0),
@@ -1437,7 +1491,9 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
         rsv_spec = pl.BlockSpec((bh, 16, w), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_specs, out_shape = [], []
-        for _c in range(n_chan):
+        chans = [c for c, on in (("d", has_sun), ("e", emissive_on),
+                                 ("i", bounces > 0)) if on]
+        for c in chans:
             out_specs += [ray_spec] * 3
             out_shape += [jax.ShapeDtypeStruct((rows, w), jnp.float32)] * 3
             if temporal:
@@ -1445,21 +1501,44 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
                 out_shape += [
                     jax.ShapeDtypeStruct((rows, w), jnp.float32),
                     jax.ShapeDtypeStruct((rows, 16, w), jnp.float32)]
-        return pl.pallas_call(
-            kernel,
-            interpret=interpret,
-            grid=(rows // bh,),
-            in_specs=[tab_spec(3), tab_spec(tris.shape[0]),
-                      tab_spec(attrs.shape[0]), tab_spec(em_tris.shape[0]),
-                      tab_spec(em_attrs.shape[0]), tab_spec(mats.shape[0])]
-            + [ray_spec] * 13 + [rsv_spec] * len(prevs_l),
-            out_specs=out_specs,
-            out_shape=out_shape,
-            # the temporal variant's live reservoir state spills past the
-            # default 16 MB scoped-vmem budget by a hair; raise the cap
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(params, tris, attrs, em_tris, em_attrs, mats, *ops_)
+                if c in ("d", "e") and track_de:
+                    # flags plane + validation-scatter reservoir
+                    out_specs += [ray_spec, rsv_spec]
+                    out_shape += [
+                        jax.ShapeDtypeStruct((rows, w), jnp.float32),
+                        jax.ShapeDtypeStruct((rows, 16, w), jnp.float32)]
+                elif c == "i" and track_ind:
+                    out_specs += [ray_spec]
+                    out_shape += [
+                        jax.ShapeDtypeStruct((rows, w), jnp.float32)]
+        def call(k, *args):
+            return pl.pallas_call(
+                k,
+                interpret=interpret,
+                grid=(rows // bh,),
+                in_specs=[tab_spec(3), tab_spec(tris.shape[0]),
+                          tab_spec(attrs.shape[0]),
+                          tab_spec(em_tris.shape[0]),
+                          tab_spec(em_attrs.shape[0]),
+                          tab_spec(mats.shape[0])]
+                + [ray_spec] * 13 + [rsv_spec] * len(prevs_l),
+                out_specs=out_specs,
+                out_shape=out_shape,
+                # the temporal variant's live reservoir state spills past
+                # the default 16 MB scoped-vmem budget; raise the cap
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(*args)
+
+        args = (params, tris, attrs, em_tris, em_attrs, mats, *ops_)
+        if kernel_noval is None:
+            return call(kernel, *args)
+        # dispatch the no-retrace variant on frames where neither
+        # channel validates (params row 2 holds the per-frame flags)
+        any_val = params[2, 0] + params[2, 1] > 0.0
+        return lax.cond(any_val,
+                        lambda a: call(kernel, *a),
+                        lambda a: call(kernel_noval, *a), args)
 
     from hikari_tpu.parallel import shard as _sh
 
@@ -1475,10 +1554,16 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
             prevs = [jnp.pad(p, ((0, hpm - hp), (0, 0), (0, 0)))
                      for p in prevs]
         out_specs = []
-        for _c in range(n_chan):
+        for c in [c for c, on in (("d", has_sun), ("e", emissive_on),
+                                  ("i", bounces > 0)) if on]:
             out_specs += [P(_sh.AXIS, None)] * 3
             if temporal:
                 out_specs += [P(_sh.AXIS, None), P(_sh.AXIS, None, None)]
+                if c in ("d", "e") and track_de:
+                    out_specs += [P(_sh.AXIS, None),
+                                  P(_sh.AXIS, None, None)]
+                elif c == "i" and track_ind:
+                    out_specs += [P(_sh.AXIS, None)]
         outs = _sh.smap(
             invoke, mesh,
             in_specs=(P(),) * 6 + (P(_sh.AXIS, None),) * 13
@@ -1509,4 +1594,13 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
             out[f"{slot}_var"] = outs[i0][:h]
             out[f"{slot}_packed"] = outs[i0 + 1][:h]
             i0 += 2
+            if slot in ("d", "e") and track_de:
+                # flags: 1 = reprojection-gate miss, +2 = validation miss;
+                # scatter: the reservoir the validation scatter writes
+                out[f"{slot}_flags"] = outs[i0][:h]
+                out[f"{slot}_scatter"] = outs[i0 + 1][:h]
+                i0 += 2
+            elif slot == "i" and track_ind:
+                out["i_flags"] = outs[i0][:h]
+                i0 += 1
     return out

@@ -34,7 +34,6 @@ channel-plane layout.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -92,14 +91,25 @@ def spatial_fused_eligible(scene, *, no_texture: bool,
 
 
 def _tap_geometry(count_taps: int, reuse_range: float):
-    """Static per-tap radii + ray-march schedule (the spiral radius only
-    depends on the tap index; the per-frame rotation moves the angle)."""
+    """Static per-tap spiral geometry (the radius only depends on the tap
+    index; the per-frame rotation moves the angle). Computed in numpy f32
+    with the SAME operation order as restir.spatial_reuse's traced f32
+    arithmetic so round()/int() decisions match bit-for-bit."""
+    import numpy as np
+
+    f32 = np.float32
     taps = []
     for i in range(1, count_taps + 1):
-        radius = math.sqrt(i / count_taps) * reuse_range
-        tap_interval = max(1.0, radius / (SPATIAL_TAPS + 1))
+        fi = f32(i)
+        radius = f32(np.sqrt(fi / f32(count_taps))) * f32(reuse_range)
+        tap_interval = np.maximum(f32(1.0), radius / f32(SPATIAL_TAPS + 1))
         tap_count = int(radius / tap_interval)
-        taps.append((float(i), radius, tap_interval, tap_count))
+        inv_len = f32(1.0) / np.maximum(radius, f32(1e-5))
+        fi_gr = fi * f32(GOLDEN_RATIO)
+        march = [(f32(j) * tap_interval,
+                  f32(j) / (f32(tap_count) + f32(1.0)))
+                 for j in range(1, SPATIAL_TAPS + 2) if j <= tap_count]
+        taps.append((fi_gr, radius, inv_len, march))
     return taps
 
 
@@ -111,9 +121,15 @@ def _rsv_merge(r, q, p, mask):
     return out
 
 
+def _win_rows(bh: int, halo: int) -> int:
+    """Window rows, rounded up to a sublane multiple (tpu.dynamic_rotate
+    rejects unaligned shapes; the extra rows sit below the bottom halo)."""
+    return -(-(bh + 2 * halo) // 8) * 8
+
+
 def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
                   n_mats: int, bh: int, halo: int, wp: int):
-    WIN = bh + 2 * halo
+    WIN = _win_rows(bh, halo)
     taps = _tap_geometry(count_taps, float(reuse_range))
 
     def kernel(params, mats, src_rsv, src_dep, prev_ref,
@@ -146,7 +162,16 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
               .astype(jnp.float32))
         xx = lax.broadcasted_iota(jnp.int32, (bh, wp), 1).astype(jnp.float32)
 
-        depth = win_d[pl.ds(halo, bh), :]
+        # the depth window is 2D, where a dynamic sublane start is not
+        # Mosaic-lowerable (vector.load alignment); load it whole and use
+        # value-level rolls (rows never wrap: halo+dy in [0, 2*halo])
+        wd = win_d[...]
+
+        def shifted_d(dy, dx):
+            r = pltpu.roll(pltpu.roll(wd, -dy, axis=0), -dx, axis=1)
+            return r[halo:halo + bh, :]
+
+        depth = wd[halo:halo + bh, :]
         valid = depth >= F32_EPSILON
 
         px = px_ref[...]
@@ -159,9 +184,6 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
 
         q0 = _unpack_take(lambda c: win_r[pl.ds(halo, bh), c, :])
         prev = _unpack_take(lambda c: prev_ref[:, c, :])
-        # prev comes from the banded gather: bit-identical fields in-band,
-        # zeros (empty reservoir, vinst 0->treated as miss by gates) out
-        prev["vinst"] = jnp.where(prev["count"] > 0.0, prev["vinst"], -1.0)
 
         keep_history = q0["life"] <= max_life
         r = {k: jnp.where(keep_history, prev[k], q0[k]) for k in q0}
@@ -191,37 +213,36 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
 
         use_sp_var = q0["count"] <= SPATIAL_VARIANCE_SAMPLE_THRESHOLD
 
-        for fi, radius, tap_interval, tap_count in taps:
-            angle = TAU * jnp.mod(fi * GOLDEN_RATIO + frand, 1.0)
-            off_x = radius * jnp.cos(angle)
-            off_y = radius * jnp.sin(angle)
+        for fi_gr, radius, inv_len, march in taps:
+            angle = TAU * jnp.mod(jnp.float32(fi_gr) + frand, 1.0)
+            off_x = jnp.float32(radius) * jnp.cos(angle)
+            off_y = jnp.float32(radius) * jnp.sin(angle)
             oy = jnp.round(off_y).astype(jnp.int32)
             ox = jnp.round(off_x).astype(jnp.int32)
 
-            def shifted(plane_win, dy, dx, c=None):
-                sl = (plane_win[pl.ds(halo + dy, bh), :] if c is None
-                      else plane_win[pl.ds(halo + dy, bh), c, :])
+            def shifted(c, dy, dx):
+                # dim 0 of the 3D reservoir window is a leading (untiled)
+                # dim, so a dynamic start is fine there; lanes roll
+                sl = win_r[pl.ds(halo + dy, bh), c, :]
                 return pltpu.roll(sl, -dx, axis=1)
 
-            q = _unpack_take(lambda c: shifted(win_r, oy, ox, c))
-            sdep = shifted(win_d, oy, ox)
+            q = _unpack_take(lambda c: shifted(c, oy, ox))
+            sdep = shifted_d(oy, ox)
             oyf = oy.astype(jnp.float32)
             oxf = ox.astype(jnp.float32)
             in_b = ((yy + oyf >= 0.0) & (yy + oyf < h_tot)
                     & (xx + oxf >= 0.0) & (xx + oxf < w_tot))
 
             # screen-space depth ray-march (light.wgsl:1608-1628); the
-            # schedule (tap_count, fractions) is static per tap index
-            inv_len = 1.0 / max(radius, 1e-5)
+            # schedule (tap distances, fractions) is static per tap index
             occluded = jnp.zeros((bh, wp), jnp.bool_)
-            for j in range(1, SPATIAL_TAPS + 2):
-                if j > tap_count:
-                    continue
-                tdist = j * tap_interval
-                toy = jnp.round(tdist * off_y * inv_len).astype(jnp.int32)
-                tox = jnp.round(tdist * off_x * inv_len).astype(jnp.int32)
-                tap_depth = shifted(win_d, toy, tox)
-                ref_depth = depth + (sdep - depth) * (j / (tap_count + 1.0))
+            for tdist, frac in march:
+                toy = jnp.round(jnp.float32(tdist) * off_y
+                                * jnp.float32(inv_len)).astype(jnp.int32)
+                tox = jnp.round(jnp.float32(tdist) * off_x
+                                * jnp.float32(inv_len)).astype(jnp.int32)
+                tap_depth = shifted_d(toy, tox)
+                ref_depth = depth + (sdep - depth) * jnp.float32(frac)
                 occluded |= tap_depth > ref_depth + 1e-5
 
             depth_ratio = depth / jnp.where(sdep == 0.0, 1e-30, sdep)
@@ -294,10 +315,11 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
 
 
 @partial(jax.jit, static_argnames=("emissive_lit", "render_size",
-                                   "interpret"))
+                                   "interpret", "total_rows"))
 def spatial_fused(scene, g, view, frame, temporal_planes, prev_sp_planes,
                   *, emissive_lit: bool, render_size,
-                  interpret: bool = False, row0=None):
+                  interpret: bool = False, row0=None,
+                  total_rows: int | None = None):
     """Run the fused spatial pass for one channel.
 
     temporal_planes: [h,16,w] THIS frame's temporal reservoir channel
@@ -329,8 +351,10 @@ def spatial_fused(scene, g, view, frame, temporal_planes, prev_sp_planes,
         cfg = [(0, hp - h)] + [(0, 0)] * (x.ndim - 2) + [(0, wp - w)]
         return jnp.pad(x, cfg) if (hp > h or wp > w) else x
 
+    bot = _win_rows(bh, halo) - bh - halo   # bottom margin incl. alignment
+
     def pad_window(x):
-        cfg = [(halo, halo + hp - h)] + [(0, 0)] * (x.ndim - 2) \
+        cfg = [(halo, bot + hp - h)] + [(0, 0)] * (x.ndim - 2) \
             + [(0, wp - w)]
         return jnp.pad(x, cfg)
 
@@ -357,20 +381,15 @@ def spatial_fused(scene, g, view, frame, temporal_planes, prev_sp_planes,
     prow = lax.dynamic_update_slice(prow, view["world_position"], (_S_CAM,))
     prow = prow.at[_S_ROW0].set(0.0 if row0 is None
                                 else row0.astype(jnp.float32))
-    prow = prow.at[_S_H].set(float(h) if row0 is None else F32_MAX)
+    # sharded callers pass the TOTAL image rows for the in-bounds gate
+    prow = prow.at[_S_H].set(float(h if total_rows is None else total_rows))
     prow = prow.at[_S_W].set(float(w))
     params = prow[None, :]
-    if row0 is not None:
-        # sharded: the caller passes global h via frame; the in-bounds gate
-        # uses the TOTAL image rows, not the local shard rows
-        params = params.at[0, _S_H].set(
-            jnp.asarray(frame["_sharded_total_rows"], jnp.float32)
-            if "_sharded_total_rows" in frame else float(h))
 
     kernel = _build_kernel(
         emissive_lit=emissive_lit, count_taps=count_taps,
         reuse_range=reuse_range, n_mats=n_mats, bh=bh, halo=halo, wp=wp)
-    WIN = bh + 2 * halo
+    WIN = _win_rows(bh, halo)
 
     grid = hp // bh
     ray_spec = pl.BlockSpec((bh, wp), lambda i: (i, 0),
@@ -396,6 +415,8 @@ def spatial_fused(scene, g, view, frame, temporal_planes, prev_sp_planes,
             pltpu.VMEM((WIN, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(params, mats, src_rsv, src_dep, prev_p, pxp, pyp, pzp, matp)
 
     alpha = (depth >= F32_EPSILON).astype(jnp.float32)

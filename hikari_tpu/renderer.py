@@ -13,7 +13,8 @@ import numpy as np
 
 from hikari_tpu.camera import Camera
 from hikari_tpu.config import HikariSettings, make_frame_uniform
-from hikari_tpu.frame import build_render_frame, init_carry
+from hikari_tpu.frame import (build_render_frame, init_carry,
+                              spatial_fused_active)
 from hikari_tpu.models.scene import GpuScene, Scene
 from hikari_tpu.ops.noise import noise_constant
 from hikari_tpu.ops.post import overlay_compose
@@ -63,9 +64,17 @@ class Renderer:
 
     def _fresh_carry(self):
         # distinct buffers everywhere: the carry is donated each frame, and
-        # aliased/deduped constants would trip XLA's donation checks
-        return jax.tree.map(lambda a: a + jnp.zeros_like(a),
-                            init_carry(self.full_size, self.settings))
+        # aliased/deduped constants would trip XLA's donation checks.
+        # The spatial-carry layout must match the pipeline the frame fn
+        # picks (channel-plane for the fused spatial path) — same predicate
+        sp_planes = spatial_fused_active(
+            self.scene_dev, self.settings, self.tracer, self.no_texture,
+            self.gpu_scene.num_emissives, self.gpu_scene.has_sun,
+            self.full_size)
+        return jax.tree.map(
+            lambda a: a + jnp.zeros_like(a),
+            init_carry(self.full_size, self.settings,
+                       spatial_planes=sp_planes))
 
     # ------------------------------------------------------------------
     def _views(self):
@@ -282,8 +291,30 @@ class Renderer:
             self.carry["prev_inverse_view_proj"] = view["inverse_view_proj"] + 0.0
             self._prev_view_initialized = True
         frame = make_frame_uniform(self.settings, self._frame_index)
-        image, albedo, self.carry, dbg = self._debug_fn(
-            self.scene_dev, view, frame, self.noise, self.carry)
+        # the debug pipeline is always modular and expects packed [h,w,16]
+        # spatial carries; the fused-spatial carry stores channel planes
+        # [h,16,w] — same packed data, transposed
+        carry = self.carry
+        from hikari_tpu.ops import reservoir as _rsv
+
+        def _to_packed(a):
+            return (jnp.swapaxes(a, 1, 2)
+                    if a.ndim == 3 and a.shape[1] == _rsv.PACKED_WIDTH
+                    else a)
+
+        def _like(a, ref):
+            return (jnp.swapaxes(a, 1, 2)
+                    if ref.ndim == 3 and ref.shape[1] == _rsv.PACKED_WIDTH
+                    else a)
+
+        sp_keys = ("spatial_de", "spatial_indirect")
+        orig = {k: carry[k] for k in sp_keys}
+        carry = {**carry, **{k: _to_packed(carry[k]) for k in sp_keys}}
+        image, albedo, carry, dbg = self._debug_fn(
+            self.scene_dev, view, frame, self.noise, carry)
+        carry = {**carry,
+                 **{k: _like(carry[k], orig[k]) for k in sp_keys}}
+        self.carry = carry
         self._frame_index += 1
         dbg = {k: np.asarray(v) for k, v in dbg.items()}
         dbg["final"] = np.asarray(self._post_overlay(image, albedo))
