@@ -64,6 +64,48 @@ def test_reproj_gather_sharded_matches_single():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("kind,mag,min_frac", [
+    # thresholds for THIS small test frame (64x384): edge groups with
+    # clipped means are proportionally larger than at 1080p, where the
+    # probe measures >=99.3% at 0.01 (tools/probe_reproj_band.py)
+    ("zoom", 0.01, 0.95),     # 1%/frame scale ramp
+    ("rotate", 0.01, 0.95),   # 0.57 deg/frame roll
+    ("zoom", 0.02, 0.88),
+    ("rotate", 0.02, 0.88),
+])
+def test_reproj_gather_non_translational_motion(kind, mag, min_frac):
+    """Zoom/rotation produce offsets that vary linearly across a group —
+    the group-mean band must still accept the overwhelming majority of
+    pixels (match-or-zero everywhere; tools/probe_reproj_band.py has the
+    1080p table: >=99% in-band at these rates)."""
+    rng = np.random.default_rng(7)
+    h, w, F = 64, 384, 8
+    src = rng.normal(size=(h, F, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    if kind == "zoom":
+        py = cy + (1.0 + mag) * (yy - cy)
+        px = cx + (1.0 + mag) * (xx - cx)
+    else:
+        c, s = np.cos(mag), np.sin(mag)
+        py = cy + c * (yy - cy) - s * (xx - cx)
+        px = cx + s * (yy - cy) + c * (xx - cx)
+    piy = np.round(py).astype(np.int32)
+    pix = np.round(px).astype(np.int32)
+    out, = reproj_gather([jnp.asarray(src)], jnp.asarray(piy),
+                         jnp.asarray(pix))
+    got = np.asarray(out)
+    live = (piy >= 0) & (piy < h) & (pix >= 0) & (pix < w)
+    ref = np.moveaxis(src[np.clip(piy, 0, h - 1), :,
+                          np.clip(pix, 0, w - 1)], -1, 1)
+    # contract: every live pixel either matches the exact gather or
+    # rejects to zero; accepted fraction stays high
+    match = (got == ref).all(axis=1)
+    zero = (got == 0).all(axis=1)
+    assert (match | zero)[live].all()
+    assert match[live].mean() > min_frac, match[live].mean()
+
+
 def test_reproj_gather_wide_source_decodes_exactly():
     """w=2560 exceeds the old 4-bit cx pack field (ADVICE r3 low): the
     widened encoding must keep the match-or-zero contract at wide
