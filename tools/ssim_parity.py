@@ -93,8 +93,7 @@ def render(scene_key, size, frames):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("scenes", nargs="*", default=list(SCENES),
-                    choices=list(SCENES) + [[]])
+    ap.add_argument("scenes", nargs="*", default=list(SCENES))
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--outdir", default="/tmp")
     args = ap.parse_args()
