@@ -180,7 +180,11 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         else:
             gbuf = prepass(scene, tracer, view, prev_view, frame["number"],
                            full_size, taa, upscale.mode)
-            albedo = restir.full_screen_albedo(scene, gbuf, view, no_texture)
+            # the full-res surface is shared with the render-res channels
+            # below whenever the two domains coincide (ratio 1)
+            surface_full = restir.primary_surface(scene, gbuf, no_texture)
+            albedo = restir.full_screen_albedo(scene, gbuf, view, no_texture,
+                                               surface=surface_full)
 
         if g is None:
             g = restir.resample_gbuffer(gbuf, render_size, frame["number"],
@@ -409,13 +413,22 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
             spatial_de = carry["spatial_de"]
             d_temporal_packed = carry["direct_temporal"]
             d_render = d_var = None
+            # ONE primary-surface retrieval per G-buffer domain, shared by
+            # every channel (each textured retrieval is 16 atlas row
+            # gathers; the reference reads the textures once per pixel in
+            # its one kernel, light.wgsl:749-793)
+            surf_l = restir.primary_surface(scene, g_l, no_texture)
+            surf_r = surf_l if g_l is g else (
+                restir.primary_surface(scene, g, no_texture)
+                if ((not has_sun) or (track_de and num_emissives > 0)
+                    or track_ind) else None)
             if has_sun:
                 d = restir.direct_lit(
                     scene, tracer, g_l, view, frame, rand_l, reproj_l, prev_rs[0],
                     spatial_de if track_de else None,
                     emissive_lit=False, temporal_reuse=settings.temporal_reuse,
                     no_texture=no_texture, track_spatial=track_de,
-                    render_size=light_size)
+                    render_size=light_size, surface=surf_l)
                 if track_de:
                     spatial_de = d["prev_spatial_packed"]
                 deferred.append(("d", d["render"], d["variance"]))
@@ -424,7 +437,8 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                                                              "direct_temporal")
             else:
                 d = restir.emissive_surface_channel(scene, g, no_texture,
-                                                    render_size)
+                                                    render_size,
+                                                    surface=surf_r)
                 d_render, d_var = d["render"], d["variance"]
 
             # --- emissive channel (EMISSIVE_LIT); statically skipped when the
@@ -436,7 +450,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                     spatial_de if track_de else None,
                     emissive_lit=True, temporal_reuse=settings.temporal_reuse,
                     no_texture=no_texture, track_spatial=track_de,
-                    render_size=light_size)
+                    render_size=light_size, surface=surf_l)
                 if track_de:
                     e_render, e_var = to_full(e["render"], e["variance"])
                 else:
@@ -466,7 +480,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                     reproj, emissive_lit=True, no_texture=no_texture,
                     render_size=render_size,
                     scramble_bits=(rand[..., 3] * 4.0).astype(jnp.int32) & 3
-                    if scramble else None)
+                    if scramble else None, surface=surf_r)
                 spatial_de = rsv.pack_reservoir(sp["spatial"])
                 e_render = sp["render"]
                 e_var = jnp.where(jnp.isnan(sp["variance"]), e_var, sp["variance"])
@@ -481,7 +495,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                 bounces=settings.indirect_bounces,
                 temporal_reuse=settings.temporal_reuse,
                 no_texture=no_texture, track_spatial=track_ind,
-                render_size=light_size)
+                render_size=light_size, surface=surf_l)
             if settings.indirect_bounces > 0:
                 if track_ind:
                     i_render, i_var = to_full(i["render"], i["variance"])
@@ -505,7 +519,7 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
                     reproj, emissive_lit=False, no_texture=no_texture,
                     render_size=render_size,
                     scramble_bits=(rand[..., 2] * 4.0).astype(jnp.int32) & 3
-                    if scramble else None)
+                    if scramble else None, surface=surf_r)
                 spatial_ind = rsv.pack_reservoir(sp["spatial"])
                 i_render = sp["render"]
                 i_var = jnp.where(jnp.isnan(sp["variance"]), i_var, sp["variance"])

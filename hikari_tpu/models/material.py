@@ -92,6 +92,12 @@ def pack_atlas(textures: List[Texture], max_side: int = 8192):
 
     Returns (atlas, rects [T,4] int32 as (x, y, w, h)). Empty texture list
     yields a 1x1 white atlas (the NO_TEXTURE specialization uses none of it).
+
+    Every texture is stored with a 1-texel WRAPPED border (rects point at
+    the inner rect): the xy-addressed samplers (ops/shading.sample_atlas)
+    mod every tap into the inner rect and never read the border, while the
+    banded window sampler (ops/texture_pallas.py) reads contiguous ix in
+    [-1, w] so its wrapped bilinear taps hit real texels.
     """
     if not textures:
         return np.ones((8, 128, 4), dtype=np.float32), np.zeros((1, 4), np.int32)
@@ -100,7 +106,7 @@ def pack_atlas(textures: List[Texture], max_side: int = 8192):
     order = sorted(range(len(imgs)), key=lambda i: -imgs[i].shape[0])
 
     side = 128
-    total_area = sum(im.shape[0] * im.shape[1] for im in imgs)
+    total_area = sum((im.shape[0] + 2) * (im.shape[1] + 2) for im in imgs)
     while side * side < total_area * 1.2 and side < max_side:
         side *= 2
 
@@ -109,7 +115,7 @@ def pack_atlas(textures: List[Texture], max_side: int = 8192):
         x = y = shelf_h = 0
         ok = True
         for i in order:
-            h, w = imgs[i].shape[:2]
+            h, w = imgs[i].shape[0] + 2, imgs[i].shape[1] + 2
             if w > side:
                 ok = False
                 break
@@ -120,7 +126,7 @@ def pack_atlas(textures: List[Texture], max_side: int = 8192):
             if y + h > side:
                 ok = False
                 break
-            rects[i] = (x, y, w, h)
+            rects[i] = (x + 1, y + 1, w - 2, h - 2)  # inner rect
             x += w
             shelf_h = max(shelf_h, h)
         if ok:
@@ -133,6 +139,15 @@ def pack_atlas(textures: List[Texture], max_side: int = 8192):
     for i, im in enumerate(imgs):
         x0, y0, w, h = rects[i]
         atlas[y0 : y0 + h, x0 : x0 + w] = im
+        # wrapped 1-texel border (repeat addressing)
+        atlas[y0 - 1, x0 : x0 + w] = im[-1]
+        atlas[y0 + h, x0 : x0 + w] = im[0]
+        atlas[y0 : y0 + h, x0 - 1] = im[:, -1]
+        atlas[y0 : y0 + h, x0 + w] = im[:, 0]
+        atlas[y0 - 1, x0 - 1] = im[-1, -1]
+        atlas[y0 - 1, x0 + w] = im[-1, 0]
+        atlas[y0 + h, x0 - 1] = im[0, -1]
+        atlas[y0 + h, x0 + w] = im[0, 0]
     return atlas, rects
 
 

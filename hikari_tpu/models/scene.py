@@ -286,6 +286,31 @@ class GpuScene:
         return dataclasses.replace(self, arrays=arrays, bvh=bvh2)
 
 
+def _atlas_panels_bf16(atlas: np.ndarray) -> np.ndarray:
+    from ml_dtypes import bfloat16
+
+    from hikari_tpu.ops.texture_pallas import atlas_to_panels
+
+    return atlas_to_panels(atlas, bfloat16)
+
+
+_ATLAS_QUAD_MAX_SIDE = 2048  # [A,A,16] bf16 = 134 MB at 2048
+
+
+def _atlas_quad_bf16(atlas: np.ndarray) -> np.ndarray:
+    """[A,A,4] -> [A,A,16] rows holding the 2x2 bilinear neighborhood
+    (x,y), (x+1,y), (x,y+1), (x+1,y+1) so an INCOHERENT bilinear sample is
+    ONE row gather instead of four (~9 ns/row measured either way; see
+    ops/shading.sample_atlas). Exact for repeat addressing because
+    pack_atlas stores wrapped 1-texel borders, so +1 never leaves the
+    padded rect. bf16: texture data is u8-sourced."""
+    from ml_dtypes import bfloat16
+
+    ax = np.concatenate([atlas, np.roll(atlas, -1, axis=1)], -1)
+    q = np.concatenate([ax, np.roll(ax, -1, axis=0)], -1)
+    return q.astype(bfloat16)
+
+
 def _add_emissive_tri_tables(arrays) -> None:
     """Emissive-only triangle tables for light-probe traces.
 
@@ -468,10 +493,16 @@ def compile_scene(scene: Scene, universal=None) -> GpuScene:
         "em_surface_area": np.asarray(em_area, np.float32),
         "alias_prob": alias_prob,
         "alias_index": alias_index,
-        # material table + atlas
+        # material table + atlas (+ the channel-major panel tiling the
+        # banded Pallas sampler window-DMAs from, ops/texture_pallas.py;
+        # bf16: texture data is u8-sourced, see sampler docstring)
         **{f"mat_{k}": v for k, v in mat_table.items()},
         "atlas": atlas,
         "tex_rect": tex_rects,
+        "atlas_panels": _atlas_panels_bf16(atlas),
+        **({"atlas_quad": _atlas_quad_bf16(atlas)}
+           if atlas.shape[0] <= _ATLAS_QUAD_MAX_SIDE
+           and atlas.shape[0] > 8 else {}),
         # lights
         "dir_to_light": (-np.asarray(scene.directional_light.direction, np.float32)
                          / np.linalg.norm(scene.directional_light.direction)).astype(np.float32),

@@ -233,6 +233,12 @@ def atrous_level(irr, geo, f32s, *, step: int, nch: int, ffs: tuple,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((ni, hp, w), jnp.bfloat16),
+        # the (prev,cur,next) triples sit right at the 16 MB scoped-vmem
+        # default at full-res 1080p when the surrounding program leaves the
+        # operands in S(1) (observed on the textured/modular path: 17.03 MB
+        # requested); raise the cap like light_fused/spatial_fused do
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(row0, irr, irr, irr, geo, geo, geo, f32s, f32s, f32s)
 
 

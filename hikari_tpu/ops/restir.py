@@ -157,13 +157,26 @@ def roll2d(img, dy, dx):
 # full-screen albedo (light.wgsl:1020-1042)
 # ---------------------------------------------------------------------------
 
-def full_screen_albedo(scene, gbuf, view, no_texture: bool):
+def primary_surface(scene, g, no_texture: bool):
+    """The G-buffer pixel's material+texture surface (light.wgsl:729-781).
+
+    Computed ONCE per frame per G-buffer domain and shared by every
+    primary-surface consumer (albedo, channel shading, spatial reuse) —
+    each atlas bilinear tap is a [npix] row gather (~18 ms per tap at
+    1080p measured), and the reference's one-kernel design reads the
+    textures once per pixel too (light.wgsl:749-793)."""
+    material = g["instance_material"][..., 1].astype(jnp.int32)
+    mesh_uv = g["velocity_uv"][..., 2:4]
+    return retrieve_surface(scene, material, mesh_uv, no_texture,
+                            coherent=True)
+
+
+def full_screen_albedo(scene, gbuf, view, no_texture: bool, surface=None):
     depth = gbuf["position"][..., 3]
     valid = depth >= F32_EPSILON
     normal = gbuf["normal"]
-    material = (gbuf["instance_material"][..., 1]).astype(jnp.int32)
-    uv = gbuf["velocity_uv"][..., 2:4]
-    surface = retrieve_surface(scene, material, uv, no_texture)
+    if surface is None:
+        surface = primary_surface(scene, gbuf, no_texture)
     v = calculate_view(view, gbuf["position"][..., :3])
     albedo = env_brdf(surface, v, normal)
     a = jnp.concatenate([albedo, jnp.ones_like(depth)[..., None]], -1)
@@ -246,7 +259,7 @@ def _unflat(x, size):
 def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
                prev_spatial_packed, *,
                emissive_lit: bool, temporal_reuse: bool, no_texture: bool,
-               track_spatial: bool, render_size):
+               track_spatial: bool, render_size, surface=None):
     """One lighting channel.
 
     g: render-res G-buffer sample. prev_r: previous temporal reservoir
@@ -261,7 +274,8 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
     valid = depth >= F32_EPSILON
 
     s = make_sample_from_gbuffer(g, noise_rand, render_size)
-    mesh_uv = g["velocity_uv"][..., 2:4]
+    if surface is None:
+        surface = primary_surface(scene, g, no_texture)
 
     r, reproj_ok = rsv.check_previous_reservoir(prev_r, s)
     if track_spatial:
@@ -349,8 +363,6 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
         w_f = jnp.where(lum > 0.0, w_new / jnp.maximum(lum, 1e-30), 0.0)
         w2d = jnp.where(valid, _unflat(w_f, render_size), 0.0)
 
-        material = g["instance_material"][..., 1].astype(jnp.int32)
-        surface = retrieve_surface(scene, material, mesh_uv, no_texture)
         view_dir = calculate_view(view, g["position"][..., :3])
         sample_pos = _unflat(info["position"], render_size)
         l_dir = normalize(sample_pos[..., :3]
@@ -449,8 +461,6 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
     r = rsv.zero_where(~valid, r)
 
     # shade (light.wgsl:1233-1259)
-    material = g["instance_material"][..., 1].astype(jnp.int32)
-    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
     view_dir = calculate_view(view, g["position"][..., :3])
     l_dir = normalize(r["sample_position"][..., :3] - r["visible_position"][..., :3])
     out = shading(scene, view_dir, r["visible_normal"], l_dir, surface,
@@ -465,7 +475,8 @@ def direct_lit(scene, tracer, g, view, frame, noise_rand, reproj, prev_r,
             "surface": surface, "view_dir": view_dir, "valid": valid}
 
 
-def emissive_surface_channel(scene, g, no_texture: bool, render_size):
+def emissive_surface_channel(scene, g, no_texture: bool, render_size,
+                             surface=None):
     """Direct channel specialization for scenes with NO directional light
     (e.g. cornell.rs spawns no sun): the solar NEE term is identically zero,
     so only RENDER_EMISSIVE's surface-emission add remains
@@ -475,9 +486,8 @@ def emissive_surface_channel(scene, g, no_texture: bool, render_size):
     h, w = render_size
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
-    material = g["instance_material"][..., 1].astype(jnp.int32)
-    mesh_uv = g["velocity_uv"][..., 2:4]
-    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    if surface is None:
+        surface = primary_surface(scene, g, no_texture)
     out = compute_emissive_radiance(surface["emissive"])
     render = jnp.where(valid[..., None],
                        jnp.concatenate([out, jnp.ones_like(depth)[..., None]],
@@ -495,7 +505,7 @@ def emissive_surface_channel(scene, g, no_texture: bool, render_size):
 def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
                          prev_r, prev_spatial_packed, *,
                          bounces: int, temporal_reuse: bool, no_texture: bool,
-                         track_spatial: bool, render_size):
+                         track_spatial: bool, render_size, surface=None):
     h, w = render_size
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
@@ -537,9 +547,13 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
             first_sample_nrm = info["normal"]
             pdf = bounce_pdf
 
-        surface = retrieve_surface(scene, info["material"], info["uv"], no_texture)
-        surface = dict(surface)
-        surface["roughness"] = jnp.ones_like(surface["roughness"])
+        # bounce-hit surface (secondary, data-dependent uv — stays on the
+        # XLA gather path; named b_surface so it cannot shadow the shared
+        # primary `surface` argument)
+        b_surface = retrieve_surface(scene, info["material"], info["uv"],
+                                     no_texture)
+        b_surface = dict(b_surface)
+        b_surface["roughness"] = jnp.ones_like(b_surface["roughness"])
 
         cand, cinfo = select_light_candidate(
             scene, tracer, b_rand, info["position"][..., :3], info["normal"],
@@ -566,7 +580,7 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
             in_rad,
             jnp.concatenate([jnp.zeros((n_pix, 3)), in_rad[:, 3:4]], -1))
         out_rad = shading(scene, bounce_view, info["normal"],
-                          cand["direction"], surface, in_rad)
+                          cand["direction"], b_surface, in_rad)
         out_rad = out_rad / jnp.maximum(cand["p"][:, None], 1e-30)
         if n > 0:
             out_rad = jnp.where(bounce_pdf[:, None] < 0.01, 0.0,
@@ -588,7 +602,8 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
 
         transport = jnp.where(
             (alive & hit_ok)[:, None],
-            transport * env_brdf(surface, bounce_view, info["normal"]), transport)
+            transport * env_brdf(b_surface, bounce_view, info["normal"]),
+            transport)
         alive = alive & hit_ok & jnp.any(transport > 0.01, axis=-1)
         b_rand = jnp.mod(b_rand + frame["number"].astype(jnp.float32) * GOLDEN_RATIO, 1.0)
         b_pos = jnp.where(hit_ok[:, None], info["position"][..., :3], b_pos)
@@ -601,9 +616,8 @@ def indirect_lit_ambient(scene, tracer, g, view, frame, noise_rand, reproj,
     s["sample_normal"] = _unflat(first_sample_nrm, render_size)
 
     # temporal ReSTIR (light.wgsl:1452-1497)
-    mesh_uv = g["velocity_uv"][..., 2:4]
-    material = g["instance_material"][..., 1].astype(jnp.int32)
-    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    if surface is None:
+        surface = primary_surface(scene, g, no_texture)
     view_dir = calculate_view(view, g["position"][..., :3])
     sample_rad = shading(
         scene, view_dir, s["visible_normal"],
@@ -676,7 +690,7 @@ def compute_jacobian(q_s, s):
 
 def spatial_reuse(scene, g, view, frame, temporal_r, prev_spatial_packed,
                   reproj, *, emissive_lit: bool, no_texture: bool,
-                  render_size, scramble_bits=None):
+                  render_size, scramble_bits=None, surface=None):
     """Spatial ReSTIR pass for the emissive / indirect channels.
 
     temporal_r: this frame's temporal reservoirs. Neighbor taps are rolls of
@@ -696,9 +710,8 @@ def spatial_reuse(scene, g, view, frame, temporal_r, prev_spatial_packed,
 
     depth = g["position"][..., 3]
     valid = depth >= F32_EPSILON
-    mesh_uv = g["velocity_uv"][..., 2:4]
-    material = g["instance_material"][..., 1].astype(jnp.int32)
-    surface = retrieve_surface(scene, material, mesh_uv, no_texture)
+    if surface is None:
+        surface = primary_surface(scene, g, no_texture)
     view_dir = calculate_view(view, g["position"][..., :3])
 
     q0 = temporal_r

@@ -46,16 +46,27 @@ def sample_atlas(scene, tex_id, uv):
     ax = (fx - ix)[..., None]
     ay = (fy - iy)[..., None]
 
-    def fetch(px, py):
-        # repeat within the texture rect
-        pxm = jnp.mod(px, tw) + x0
-        pym = jnp.mod(py, th) + y0
-        return atlas[pym.astype(jnp.int32), pxm.astype(jnp.int32)]
+    if "atlas_quad" in scene:
+        # ONE row gather for the whole 2x2 footprint (quad atlas,
+        # models/scene.py). ix/iy are in [-1, tw-1] and every texture has
+        # a wrapped 1-texel border, so x0+ix indexes the same texel the
+        # mod-addressed path reads — exact up to the quad's bf16 storage.
+        p = scene["atlas_quad"][
+            (y0 + iy).astype(jnp.int32), (x0 + ix).astype(jnp.int32)
+        ].astype(jnp.float32)
+        c00, c10 = p[..., 0:4], p[..., 4:8]
+        c01, c11 = p[..., 8:12], p[..., 12:16]
+    else:
+        def fetch(px, py):
+            # repeat within the texture rect
+            pxm = jnp.mod(px, tw) + x0
+            pym = jnp.mod(py, th) + y0
+            return atlas[pym.astype(jnp.int32), pxm.astype(jnp.int32)]
 
-    c00 = fetch(ix, iy)
-    c10 = fetch(ix + 1, iy)
-    c01 = fetch(ix, iy + 1)
-    c11 = fetch(ix + 1, iy + 1)
+        c00 = fetch(ix, iy)
+        c10 = fetch(ix + 1, iy)
+        c01 = fetch(ix, iy + 1)
+        c11 = fetch(ix + 1, iy + 1)
     color = (
         c00 * (1 - ax) * (1 - ay)
         + c10 * ax * (1 - ay)
@@ -65,7 +76,8 @@ def sample_atlas(scene, tex_id, uv):
     return jnp.where((tex_id >= 0)[..., None], color, 1.0)
 
 
-def retrieve_surface(scene, material_idx, uv, no_texture: bool):
+def retrieve_surface(scene, material_idx, uv, no_texture: bool,
+                     coherent: bool = False):
     """Material table lookup + texture modulation (light.wgsl:729-781).
 
     Matches the reference channel conventions exactly: metallic *= tex.r,
@@ -88,13 +100,24 @@ def retrieve_surface(scene, material_idx, uv, no_texture: bool):
     occlusion = jnp.ones_like(metallic)
 
     if not no_texture:
+        # screen-coherent [h, w] uv fields (primary surface) ride the
+        # banded Pallas window sampler (ops/texture_pallas.py) — the XLA
+        # gather costs ~18 ms per bilinear tap at 1080p; incoherent fields
+        # (bounce hits, sampled emitters) keep the exact gather path
+        sample = sample_atlas
+        if coherent and uv.ndim == 3 and "atlas_panels" in scene:
+            from hikari_tpu.ops.texture_pallas import sample_atlas_coherent
+
+            def sample(sc, t, u):
+                return sample_atlas_coherent(sc, t, u)
         tid = jnp.round(row[..., 11:15]).astype(jnp.int32)
-        base_color = base_color * sample_atlas(scene, tid[..., 0], uv)
-        emissive = emissive * sample_atlas(scene, tid[..., 1], uv)
+        base_color = base_color * sample(scene, tid[..., 0], uv)
+        emissive = emissive * sample(scene, tid[..., 1], uv)
         mrt = tid[..., 2]
-        metallic = metallic * jnp.where(mrt >= 0, sample_atlas(scene, mrt, uv)[..., 0], 1.0)
+        metallic = metallic * jnp.where(
+            mrt >= 0, sample(scene, mrt, uv)[..., 0], 1.0)
         occ = tid[..., 3]
-        occlusion = jnp.where(occ >= 0, sample_atlas(scene, occ, uv)[..., 0], 1.0)
+        occlusion = jnp.where(occ >= 0, sample(scene, occ, uv)[..., 0], 1.0)
 
     return {
         "base_color": base_color,
