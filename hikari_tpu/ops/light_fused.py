@@ -1532,13 +1532,16 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
 
         args = (params, tris, attrs, em_tris, em_attrs, mats, *ops_)
         if kernel_noval is None:
-            return call(kernel, *args)
+            # tuple like the lax.cond path below (cond canonicalizes the
+            # pallas_call list to a tuple; shard_map out_specs must match
+            # the actual output pytree structure either way)
+            return tuple(call(kernel, *args))
         # dispatch the no-retrace variant on frames where neither
         # channel validates (params row 2 holds the per-frame flags)
         any_val = params[2, 0] + params[2, 1] > 0.0
         return lax.cond(any_val,
-                        lambda a: call(kernel, *a),
-                        lambda a: call(kernel_noval, *a), args)
+                        lambda a: tuple(call(kernel, *a)),
+                        lambda a: tuple(call(kernel_noval, *a)), args)
 
     from hikari_tpu.parallel import shard as _sh
 
@@ -1568,7 +1571,7 @@ def fused_lighting(scene, g, view, frame, rand, *, has_sun: bool,
             invoke, mesh,
             in_specs=(P(),) * 6 + (P(_sh.AXIS, None),) * 13
             + (P(_sh.AXIS, None, None),) * len(prevs),
-            out_specs=out_specs)(
+            out_specs=tuple(out_specs))(
                 params, tris, attrs, em_tris, em_attrs, mats, *planes,
                 *prevs)
     else:

@@ -71,7 +71,15 @@ def _parity_config(settings, h, w, frames, stub_kind=False):
     scene = gpu.as_pytree()
     view = {k: jnp.asarray(v) for k, v in cam.view_uniform().items()}
     noise = noise_constant()
-    carry1 = init_carry((h, w), settings)
+    # the spatial-carry layout must match the pipeline the frame picks
+    # (channel-plane when the fused spatial path is active — renderer.py
+    # uses the same predicate)
+    from hikari_tpu.frame import spatial_fused_active
+
+    carry1 = init_carry((h, w), settings,
+                        spatial_planes=spatial_fused_active(
+                            scene, settings, tracer, True,
+                            gpu.num_emissives, gpu.has_sun, (h, w)))
 
     mesh = make_mesh(8)
     render_size = scaled_size((h, w), settings.upscale_ratio)
