@@ -10,11 +10,16 @@ frame). The same JSON line carries the rest of the matrix (VERDICT r3
 weak #6: the driver must see every config the rounds argue about):
 
   frame_ms_ckb     flagship + checkerboard lighting
-  frame_ms_smaa2   reference-default envelope (SMAA TU4X 2.0 + TAA Jasmine,
-                   lib.rs:436-455 defaults)
-  frame_ms_reuse   flagship + temporal ReSTIR reuse (in-kernel)
-  frame_ms_spatial flagship + temporal + spatial reuse (the config the
-                   reference's screenshots exercise)
+  frame_ms_smaa2   flagship (NO reuse) + SMAA TU4X 2.0 + TAA Jasmine —
+                   the post-chain envelope on top of the no-reuse flagship
+  frame_ms_default literal HikariSettings(): temporal reuse + indirect
+                   spatial reuse + denoise + TAA Jasmine + SMAA TU4X 2.0 —
+                   the TRUE reference-default config every reference
+                   example ships (lib.rs:436-455, examples/minimal.rs)
+  frame_ms_reuse   flagship + temporal ReSTIR reuse (in-kernel), full-res
+  frame_ms_spatial flagship + temporal + spatial reuse, full-res lighting
+  frame_ms_ckb_reuse flagship + checkerboard + temporal reuse (modular
+                   fallback path — light_fused excludes temporal x ckb)
   frame_ms_city    BASELINE config 5: high instance count + per-frame
                    on-device refit + SMAA TU4X + HDR (examples/city.py);
                    city_refit_ms is the host-visible update_scene(fast)
@@ -137,27 +142,39 @@ def main():
     try_cfg("frame_ms_smaa2",
             dataclasses.replace(flagship, taa=Taa.JASMINE,
                                 upscale=Upscale.smaa_tu4x(2.0)))
+    # the TRUE reference default: every reference example runs literal
+    # HikariSettings::default() (temporal + indirect-spatial reuse,
+    # denoise, TAA Jasmine, SMAA TU4X 2.0 — lib.rs:436-455)
+    try_cfg("frame_ms_default", HikariSettings())
     try_cfg("frame_ms_reuse",
             dataclasses.replace(flagship, temporal_reuse=True))
     try_cfg("frame_ms_spatial",
             dataclasses.replace(flagship, temporal_reuse=True,
                                 emissive_spatial_reuse=True,
                                 indirect_spatial_reuse=True))
+    try_cfg("frame_ms_ckb_reuse",
+            dataclasses.replace(flagship, temporal_reuse=True,
+                                checkerboard_lighting=True))
 
     # BASELINE config 5: city — high instance count, per-frame on-device
     # refit (animated emissive sphere), SMAA TU4X, HDR (examples/city.py /
     # city.rs:144-199). Frame cost = update_scene(fast, device) + render.
     try:
         from examples.city import build_scene as build_city
+        from examples.city import rotate_sphere
 
         city_settings = dataclasses.replace(
             HikariSettings(), upscale=Upscale.smaa_tu4x(2.0))
         city_cam = Camera.from_look_at(
             (0.0, 2.5, 20.0), (0, 0, 0), width=width, height=height,
             hdr=True)
-        rc = Renderer(build_city(), city_cam, city_settings)
-        # warm both programs (refit + render)
-        rc.update_scene(build_city(sphere_angle=0.001), fast=True)
+        city_scene = build_city()
+        rc = Renderer(city_scene, city_cam, city_settings)
+        # warm both programs (refit + render). The per-frame animation
+        # mutates ONE transform (sphere_rotate_system, city.rs:104-112) —
+        # rebuilding the whole host scene graph per frame is not what the
+        # reference does and measured ~120 ms of pure host Python.
+        rc.update_scene(rotate_sphere(city_scene, 0.001), fast=True)
         jax.block_until_ready(rc.render_frame())
         refit_ms, total = [], []
         for rep in range(2):
@@ -165,7 +182,8 @@ def main():
             for f in range(8):
                 ta = time.perf_counter()
                 rc.update_scene(
-                    build_city(sphere_angle=0.2 * (f + 1) / 60.0), fast=True)
+                    rotate_sphere(city_scene, 0.2 * (f + 1) / 60.0),
+                    fast=True)
                 refit_ms.append((time.perf_counter() - ta) * 1e3)
                 img = rc.render_frame()
             jax.block_until_ready(img)

@@ -115,6 +115,23 @@ def _roof_prism():
     return shapes.Mesh(positions=pos, normals=normals, uvs=uvs, indices=idx)
 
 
+# spawn order inside build_scene: ground plane = 0, Earth sphere = 1
+SPHERE_INSTANCE = 1
+
+
+def rotate_sphere(scene: Scene, angle: float) -> Scene:
+    """Per-frame sphere_rotate_system analog (city.rs:104-112): mutate the
+    sphere instance's transform IN PLACE (prev <- current) — O(1) host
+    work, exactly like the reference's Transform component write. Scene
+    reconstruction per frame (an earlier bench shape) costs ~120 ms of
+    host Python and is NOT what the reference does."""
+    inst = scene.instances[SPHERE_INSTANCE]
+    inst.prev_transform = inst.transform
+    inst.transform = make_transform(
+        (0.0, 1.0, 0.0), rotation=rot_y(angle) @ rot_x(-np.pi / 2))
+    return scene
+
+
 def build_scene(waves: int = len(WAVES), sphere_angle: float = 0.0) -> Scene:
     """Scene after `waves` load-timer ticks (city.rs:144-199), with the
     emissive Earth sphere at `sphere_angle` (sphere_rotate_system)."""
@@ -183,7 +200,8 @@ def main():
     # through the on-device refit path (models/refit_device.py)
     interval = max(2, args.frames // 5)
     waves_landed = 0
-    r = Renderer(build_scene(waves=0), cam, settings)
+    scene = build_scene(waves=0)
+    r = Renderer(scene, cam, settings)
     img = None
     t0 = time.perf_counter()
     for f in range(args.frames):
@@ -191,12 +209,13 @@ def main():
         want_waves = min(len(WAVES), f // interval)
         if want_waves != waves_landed:
             waves_landed = want_waves
-            r.update_scene(build_scene(waves_landed, angle), fast=False)
+            scene = build_scene(waves_landed, angle)
+            r.update_scene(scene, fast=False)
             print(f"[city] frame {f}: wave {waves_landed} landed "
                   f"({r.gpu_scene.num_instances} instances, "
                   f"{r.gpu_scene.num_triangles} tris)")
         elif f > 0:
-            r.update_scene(build_scene(waves_landed, angle), fast=True)
+            r.update_scene(rotate_sphere(scene, angle), fast=True)
         img = r.render_frame()
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / max(1, args.frames)

@@ -263,23 +263,29 @@ def build_render_frame(settings: HikariSettings, full_size, tracer,
         if gathered_chans or sp_sources:
             from hikari_tpu.ops.reproj_gather import reproj_gather
 
+            # fold the strict-bounds rejection INTO the gather: a -1 source
+            # coord makes the kernel return the empty (all-zero) reservoir,
+            # which is exactly what where(in_strict, ., 0) produced — but as
+            # one [h,w] i32 op instead of a [h,16,w] select per source
+            piy_m = jnp.where(reproj["in_strict"], reproj["piy"], -1)
             outs = reproj_gather([carry[carry_keys[c]]
                                   for c in gathered_chans]
                                  + [carry[k] for k in sp_sources],
-                                 reproj["piy"], reproj["pix"], mesh=mesh)
+                                 piy_m, reproj["pix"], mesh=mesh)
             for j, c in enumerate(gathered_chans):
-                p = jnp.where(reproj["in_strict"][:, None, :], outs[j], 0.0)
+                p = outs[j]
                 gathered_planes[c] = p
                 r = rsv.unpack_reservoir_planes(p)
+                # zero-reservoir pixels must read as "no visible instance"
+                # (the packed empty reservoir decodes vinst = 0, which would
+                # falsely match instance 0 in the temporal gates)
                 r["visible_instance"] = jnp.where(
-                    reproj["in_strict"], r["visible_instance"], -1)
+                    r["count"] > 0.0, r["visible_instance"], -1)
                 if ckb:
                     r = {k: ckb_ops.compress(v, par) for k, v in r.items()}
                 prev_rs[c] = r
             for j, k in enumerate(sp_sources):
-                p = outs[len(gathered_chans) + j]
-                sp_gathered[k] = jnp.where(reproj["in_strict"][:, None, :],
-                                           p, 0.0)
+                sp_gathered[k] = outs[len(gathered_chans) + j]
 
         # --- fused mega-kernel fast path: the whole no-reuse lighting
         # pipeline (all three channels: candidate select, probe, shadow,

@@ -123,8 +123,30 @@ def denoise_channels(g, albedo, chans, frame, render_size, ratio: float,
         variances.append(var_c)
     nch = len(chans)
 
+    import os as _os
+
+    if _os.environ.get("HIKARI_DN_DUMP"):  # debug: bit-dump island inputs
+        import jax.experimental as _jex
+
+        _tag = _os.environ["HIKARI_DN_DUMP"]
+
+        def _save(**a):
+            import time as _time
+
+            import numpy as _np
+
+            _np.savez(f"/tmp/dn_island_{_tag}_{_time.monotonic_ns()}.npz",
+                      **{k: _np.asarray(v) for k, v in a.items()})
+
+        _jex.io_callback(
+            _save, None,
+            **{f"irr{c}": irrs[c] for c in range(nch)},
+            **{f"var{c}": variances[c] for c in range(nch)})
+
     if fused is None:
-        fused = True
+        import os
+
+        fused = os.environ.get("HIKARI_DENOISE_FUSED", "1") != "0"
     if fused:
         from hikari_tpu.ops.denoise_fused import denoise_levels_fused
 

@@ -41,14 +41,37 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP_H = 8
 GROUP_W = 128
 CHUNK = 128
-NCK = 2                 # window x-chunks (256 px)
-R = 1                   # residual radius (around the group-mean offset)
-# the zero margins keep window origins unclamped, so the tap ranges only
-# need the residual band itself (+1 x tap for the o<=_O_MAX roll clamp)
-YT = 2 * R + 1          # y taps
-XT = 2 * R + 2          # x taps
+# window x-chunks: the tap footprint is GROUP_W-1+XT = 132 lanes and the
+# roll offset o ranges over [0, 256) after right-edge cx clamping — 3
+# chunks (384 lanes) fit both, so the roll NEVER shifts the tap range
+# (with 2 chunks the o-clamp sliver shifted it on ~2% of groups —
+# including every static-camera group — silently rejecting their +dev
+# pixels). The x margin below is PHASE-ALIGNED so typical motion keeps
+# o <= _O2 and the third chunk's DMA is skipped entirely.
+NCK = 3
+R = 1                   # y residual radius (around the group-mean offset)
+YT = 2 * R + 1          # y taps: dev_y in [-R, R]
+# x taps: a SYMMETRIC +-(R+1) band — zoom/rotation ramp linearly across
+# the 128-lane group (a 2%/frame zoom sweeps +-1.3 px + rounding), so the
+# x band needs one more tap each side than y's 8-row extent does
+XT = 2 * (R + 1) + 1
 WIN_R = GROUP_H + YT - 1          # window rows
+# x margin: 64 lanes each side, so a group's window origin sits at
+# o = (64 - R - 1 + rdx) mod 128 — static cameras land at o = 62 and any
+# |rdx| <= 62 px/frame stays within the FIRST TWO chunks (o <= _O2); only
+# faster pans or right-edge cx clamps fetch the third chunk
+MX = 64
+_O2 = 2 * CHUNK - (GROUP_W - 1 + XT)       # max o served by 2 chunks
 _O_MAX = NCK * CHUNK - (GROUP_W - 1 + XT)  # max in-window roll offset
+# scratch lane extent: the next power of two >= NCK*CHUNK. Mosaic's
+# dynamic-shift lane roll (pltpu.roll) SILENTLY MISCOMPILES on
+# non-power-of-two lane counts (384 lanes: ~69% wrong values on a v5e,
+# bit-exact at 512 — tools/debug_reproj_tpu.py; interpret mode hides it).
+# Only NCK chunks are ever DMA'd; the tail chunk is never read because
+# rolled tap lanes stay <= _O_MAX + GROUP_W-1+XT-1 = NCK*CHUNK - 1.
+SCR_LANES = 1 << (NCK * CHUNK - 1).bit_length()
+_O_RADIX = 256                             # o field width in the pack
+assert _O_MAX < _O_RADIX
 # scalar-prefetch pack encoding (row0, cx, o) -> (row0*CXF + cx)*CHUNK + o;
 # CXF bounds the padded source's x-chunk count (64 chunks = ~8k px wide)
 _CXF = 64
@@ -62,47 +85,75 @@ def _make_kernel(n_src: int, fp: int):
         g = pl.program_id(0)
         n = pl.num_programs(0)
 
-        def dma(slot, gi, s, j):
-            pk = pk_ref[gi]
-            row0 = pk // (CHUNK * _CXF)
-            rem = pk - row0 * (CHUNK * _CXF)
-            cx = rem // CHUNK
+        def fields(gi):
+            pk = pk_ref[gi] >> 1
+            row0 = pk // (_O_RADIX * _CXF)
+            rem = pk - row0 * (_O_RADIX * _CXF)
+            return row0, rem // _O_RADIX, jax.lax.rem(rem, _O_RADIX)
+
+        def dma(slot, gi, s, j, cx, row0):
             return pltpu.make_async_copy(
                 srcs[s].at[pl.ds(row0, WIN_R), :, cx + j, :],
                 scr.at[slot, s, :, :, pl.ds(j * CHUNK, CHUNK)],
                 sem.at[slot, s, j])
 
+        def start_group(slot, gi):
+            row0, cx, o = fields(gi)
+            for s in range(n_src):
+                for j in range(2):
+                    dma(slot, gi, s, j, cx, row0).start()
+
+                # 3rd chunk only when the roll reaches past 2 chunks
+                @pl.when(o > _O2)
+                def _(s=s):
+                    dma(slot, gi, s, 2, cx, row0).start()
+
         @pl.when(g == 0)
         def _():
-            for s in range(n_src):
-                for j in range(NCK):
-                    dma(0, 0, s, j).start()
+            start_group(0, 0)
 
         slot = jax.lax.rem(g, 2)
 
         @pl.when(g + 1 < n)
         def _():
-            for s in range(n_src):
-                for j in range(NCK):
-                    dma(jax.lax.rem(g + 1, 2), g + 1, s, j).start()
+            start_group(jax.lax.rem(g + 1, 2), g + 1)
 
-        o = jax.lax.rem(pk_ref[g], CHUNK)
+        row0_g, cx_g, o = fields(g)
+        wide = (pk_ref[g] & 1) == 1
         code = code_ref[...]
-        masks = [code == k for k in range(YT * XT)]
-        for s in range(n_src):
-            for j in range(NCK):
-                dma(slot, g, s, j).wait()
+
+        def gather_src(s, dxs):
+            """Sum of masked static tap slabs over ALL fp planes at once
+            (one select per tap instead of one per (tap, channel))."""
             rolled = pltpu.roll(scr[slot, s], -o, axis=2)
-            for c in range(fp):
-                win_c = rolled[:, c, :]          # [WIN_R, NCK*CHUNK]
-                acc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
-                for dy in range(YT):
-                    for dx in range(XT):
-                        sl = jax.lax.slice(
-                            win_c, (dy, dx), (dy + GROUP_H, dx + GROUP_W))
-                        acc = acc + jnp.where(
-                            masks[dy * XT + dx], sl, 0.0)
-                outs[s][:, c, :] = acc
+            acc = jnp.zeros((GROUP_H, fp, GROUP_W), jnp.float32)
+            for dy in range(YT):
+                for dx in dxs:
+                    sl = jax.lax.slice(
+                        rolled, (dy, 0, dx),
+                        (dy + GROUP_H, fp, dx + GROUP_W))
+                    acc = acc + jnp.where(
+                        (code == dy * XT + dx)[:, None, :], sl, 0.0)
+            return acc
+
+        for s in range(n_src):
+            for j in range(2):
+                dma(slot, g, s, j, cx_g, row0_g).wait()
+
+            @pl.when(o > _O2)
+            def _(s=s):
+                dma(slot, g, s, 2, cx_g, row0_g).wait()
+
+            # two-tier tap loop: groups whose residuals stay in the +-R
+            # core band (static scenes, smooth pans — the common case)
+            # skip the outer x taps entirely
+            @pl.when(~wide)
+            def _(s=s):
+                outs[s][...] = gather_src(s, range(1, XT - 1))
+
+            @pl.when(wide)
+            def _(s=s):
+                outs[s][...] = gather_src(s, range(XT))
 
     return kernel
 
@@ -138,9 +189,10 @@ def _group_pack(piy, pix, yhi, xhi, hp, wp, hs_p, ws_p):
     row0 = jnp.clip(gy0 + rdy - R - (YT - 1 - 2 * R) // 2, 0, hs_p - WIN_R)
     xw0 = gx0 + rdx - R - (XT - 1 - 2 * R) // 2
     cx = jnp.clip(xw0 // CHUNK, 0, ws_p // CHUNK - NCK)
+    # o absorbs right-edge cx clamps (o > CHUNK-1 is valid: the 3-chunk
+    # window covers any roll <= _O_MAX); pathological fields clip
     o = jnp.clip(xw0 - cx * CHUNK, 0, _O_MAX)
     x0 = cx * CHUNK + o
-    pack = (row0 * _CXF + cx) * CHUNK + o                      # [gy, gx]
     # tap code vs the ACTUAL window origin (clamps self-invalidate)
     row0_e = jnp.repeat(jnp.repeat(row0, GROUP_H, 0), GROUP_W, 1)
     x0_e = jnp.repeat(jnp.repeat(x0, GROUP_H, 0), GROUP_W, 1)
@@ -151,6 +203,13 @@ def _group_pack(piy, pix, yhi, xhi, hp, wp, hs_p, ws_p):
     ok = ((dyi >= 0) & (dyi < YT) & (dxi >= 0) & (dxi < XT)
           & (live > 0.0))
     code = jnp.where(ok, dyi * XT + dxi, -1)
+    # per-group wide flag: any valid tap using the outer x columns
+    # (dev = +-(R+1)) forces the kernel's 15-tap branch; the common
+    # narrow band takes the 9-tap branch
+    outer = ok & ((dxi == 0) | (dxi == XT - 1))
+    wide = outer.reshape(gy, GROUP_H, gx, GROUP_W).any(axis=(1, 3))
+    pack = (((row0 * _CXF + cx) * _O_RADIX + o) * 2
+            + wide.astype(jnp.int32))                          # [gy, gx]
     return pack.reshape(-1), code
 
 
@@ -162,12 +221,13 @@ def _gather_impl(sources: Sequence, piy, pix, interpret: bool) -> List:
     n_src = len(sources)
     hs, fp, w = sources[0].shape
     h = piy.shape[0]
-    # zero margins on the SOURCE so window origins never clamp (clamped
-    # windows would misalign the static tap range and reject whole edge
-    # groups under motion)
-    my, mx = GROUP_H, CHUNK
+    # zero margins on the SOURCE so window origins never clamp for motion
+    # within the margin (clamped windows land at larger o, still covered by
+    # the 3-chunk window; only >margin motion rejects at the edges)
+    my, mx = GROUP_H, MX
     hs_p = hs + 2 * my
-    ws_p = -(-(w + 2 * mx) // CHUNK) * CHUNK
+    # at least NCK chunks so the window's chunk indices always exist
+    ws_p = max(-(-(w + 2 * mx) // CHUNK) * CHUNK, NCK * CHUNK)
     # the pack encoding's cx field must hold every window chunk index;
     # fail loudly instead of silently corrupting gathered reservoirs
     assert ws_p // CHUNK - NCK < _CXF, (
@@ -200,7 +260,7 @@ def _gather_impl(sources: Sequence, piy, pix, interpret: bool) -> List:
                                 lambda g, pk, gx=gx: (g // gx, 0, g % gx))]
         * n_src,
         scratch_shapes=[
-            pltpu.VMEM((2, n_src, WIN_R, fp, NCK * CHUNK), jnp.float32),
+            pltpu.VMEM((2, n_src, WIN_R, fp, SCR_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_src, NCK)),
         ],
     )
@@ -243,8 +303,11 @@ def reproj_gather(sources: Sequence, piy, pix,
     if hp > h:
         sources = [jnp.pad(s, ((0, hp - h), (0, 0), (0, 0)))
                    for s in sources]
-        piy = jnp.pad(piy, ((0, hp - h), (0, 0)))
-        pix = jnp.pad(pix, ((0, hp - h), (0, 0)))
+        # pad with -1 (reject), NOT 0: zero is a VALID source row, and the
+        # pad rows would otherwise count as live in their group's mean,
+        # dragging the window origin away from the single-device placement
+        piy = jnp.pad(piy, ((0, hp - h), (0, 0)), constant_values=-1)
+        pix = jnp.pad(pix, ((0, hp - h), (0, 0)), constant_values=-1)
 
     halo = min(SHARD_HALO, hl)
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from hikari_tpu.ops.warp2 import warp_multi
+from hikari_tpu.ops.warp_band import warp_band
 from hikari_tpu.utils.math import (
     TAU,
     clip_towards_aabb_center,
@@ -195,12 +196,18 @@ def smaa_tu4x(gbuf, prev_gbuf, prev_tone, tone, frame, render_size,
     boundary_miss = ((reproj_ux < 0.0) | (reproj_ux > 1.0)
                      | (reproj_uy < 0.0) | (reproj_uy > 1.0))
 
-    # warp windows: previous tone (render res) and previous G-buffer (full)
+    # warp windows: previous tone (render res; banded channel-plane warp —
+    # same row grid as the output) and previous G-buffer (full res; v2 warp
+    # — its 2:1 source/output row ratio stays on the proportional-shard
+    # pack path)
+    from hikari_tpu.parallel import shard as _sh
+
     tone_sy = reproj_uy * rh - 0.5
     tone_sx = reproj_ux * rw - 0.5
-    prev_color, = warp_multi(prev_tone[..., :3], tone_sy, tone_sx,
-                             [("nearest", (0.0, 0.0), (0, 3))],
-                             dtype=jnp.bfloat16)
+    pc_p, = warp_band([jnp.moveaxis(prev_tone[..., :3], -1, 1)],
+                      ("nearest",), tone_sy, tone_sx,
+                      mesh=_sh.active_mesh())
+    prev_color = jnp.moveaxis(pc_p, 1, -1)
 
     # footprint MAX of previous depth replaces the 5-bias x 4-corner probes
     # (smaa.wgsl:147-155 — ANY-over-footprint; see taa.py for the identity)

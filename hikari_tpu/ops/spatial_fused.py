@@ -44,14 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hikari_tpu.ops.light_fused import (
     _LANES,
+    _bits,
     _block_h,
     _dot,
+    _kbf16_unpair,
+    _ksnorm8_unvec,
+    _kunorm16_unpair,
     _lum,
     _mat_sweep,
     _pack_out,
     _rsqrt_n,
     _rsv_clamp,
-    _rsv_update,
     _rsv_zero_where,
     _shade,
     _unpack_take,
@@ -113,12 +116,29 @@ def _tap_geometry(count_taps: int, reuse_range: float):
     return taps
 
 
-def _rsv_merge(r, q, p, mask):
-    """merge_reservoir (light.wgsl:175-179): count-weighted WRS merge."""
-    count0 = r["count"]
-    out = _rsv_update(r, q, p * q["w"] * q["count"], mask)
-    out["count"] = jnp.where(mask, count0 + q["count"], count0)
-    return out
+def _unpack_tap(t):
+    """Tap-side reservoir unpack: only the fields the gates / Jacobian /
+    target function / WRS decision read (skips vpd, vinst, w_sum/w2_sum —
+    the winner-plane epilogue recovers full fields once per pixel)."""
+    rad01 = _kbf16_unpair(t(8))
+    rad23 = _kbf16_unpair(t(9))
+    rnd01 = _kunorm16_unpair(t(10))
+    rnd23 = _kunorm16_unpair(t(11))
+    (vnx, vny, vnz), _life = _ksnorm8_unvec(t(12))
+    (snx, sny, snz), sflag = _ksnorm8_unvec(t(13))
+    count, w = _kbf16_unpair(t(14))
+    return {
+        "vpx": t(0), "vpy": t(1), "vpz": t(2),
+        "spx": t(4), "spy": t(5), "spz": t(6),
+        "spw": (sflag > 127.0).astype(jnp.float32),
+        "rad_r": rad01[0], "rad_g": rad01[1],
+        "rad_b": rad23[0], "rad_a": rad23[1],
+        "rnd0": rnd01[0], "rnd1": rnd01[1],
+        "rnd2": rnd23[0], "rnd3": rnd23[1],
+        "vnx": vnx, "vny": vny, "vnz": vnz,
+        "snx": snx, "sny": sny, "snz": snz,
+        "count": count, "w": w,
+    }
 
 
 def _win_rows(bh: int, halo: int) -> int:
@@ -182,11 +202,30 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
                               params[0, _S_CAM + 2] - pz)
         surf = _mat_sweep(mats, n_mats, mat_ref[...])
 
-        q0 = _unpack_take(lambda c: win_r[pl.ds(halo, bh), c, :])
-        prev = _unpack_take(lambda c: prev_ref[:, c, :])
+        center_pl = win_r[pl.ds(halo, bh), :, :]       # [bh, 16, wp]
+        q0 = _unpack_take(lambda c: center_pl[:, c, :])
+        prev_pl = prev_ref[...]
 
+        # WRS with a WINNER-PLANE epilogue (VERDICT r4 next #3): the tap
+        # loop updates only the scalar reservoir algebra (w_sum, w2_sum,
+        # count) plus ONE masked select of the winning tap's 16 PACKED
+        # planes; the 23-field sample unpack/select per tap collapses to a
+        # single unpack of the winner after the loop.
         keep_history = q0["life"] <= max_life
-        r = {k: jnp.where(keep_history, prev[k], q0[k]) for k in q0}
+        kh3 = keep_history[:, None, :]
+        win_pl = jnp.where(kh3, prev_pl, center_pl)
+        win_is_tap = jnp.zeros((bh, wp), jnp.bool_)
+        # scalar state of the start reservoir (prev scalars live in packed
+        # lanes 12/14/15 — decode just those instead of the full 16)
+        p_cnt, p_w = _kbf16_unpair(prev_ref[:, 14, :])
+        p_ws, p_w2 = _kbf16_unpair(prev_ref[:, 15, :])
+        p_life = _bits(prev_ref[:, 12, :]) >> 24
+        r_wsum = jnp.where(keep_history, p_ws, q0["w_sum"])
+        r_w2 = jnp.where(keep_history, p_w2, q0["w2_sum"])
+        r_cnt = jnp.where(keep_history, p_cnt, q0["count"])
+        r_life = jnp.where(
+            keep_history,
+            p_life.astype(jnp.int32).astype(jnp.float32), q0["life"])
 
         # s: the center pixel's sample context (fixed through the taps)
         s_vpx, s_vpy, s_vpz = q0["vpx"], q0["vpy"], q0["vpz"]
@@ -198,6 +237,24 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
                                    rr, rg, rb, ra)
             return _lum(o_r, o_g, o_b)
 
+        def wrs_step(planes, q, mw, mask, is_tap):
+            """Scalar WRS merge + winner-plane select (merge_reservoir,
+            light.wgsl:175-179, with the sample select deferred)."""
+            nonlocal r_wsum, r_w2, r_cnt, win_pl, win_is_tap
+            w_new = mw * q["w"] * q["count"]
+            ws_n = r_wsum + w_new
+            rand = jnp.mod(q["rnd0"] + q["rnd1"] + q["rnd2"] + q["rnd3"],
+                           1.0)
+            replace = mask & (rand < w_new / jnp.maximum(ws_n, 1e-30))
+            r_wsum = jnp.where(mask, ws_n, r_wsum)
+            r_w2 = jnp.where(mask, r_w2 + w_new * w_new, r_w2)
+            r_cnt = jnp.where(mask, r_cnt + q["count"], r_cnt)
+            win_pl = jnp.where(replace[:, None, :], planes, win_pl)
+            if is_tap:
+                win_is_tap = win_is_tap | replace
+            else:
+                win_is_tap = win_is_tap & ~replace
+
         if emissive_lit:
             merge_w0 = _lum(q0["rad_r"], q0["rad_g"], q0["rad_b"])
         else:
@@ -205,11 +262,7 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
                                      q0["spz"] - s_vpz)
             merge_w0 = shade_lum(d0x, d0y, d0z, q0["rad_r"], q0["rad_g"],
                                  q0["rad_b"], q0["rad_a"])
-        r = _rsv_merge(r, q0, merge_w0, valid)
-        for k in ("vpx", "vpy", "vpz", "vpd"):
-            r[k] = q0[k]
-        for k in ("vnx", "vny", "vnz"):
-            r[k] = q0[k]
+        wrs_step(center_pl, q0, merge_w0, valid, is_tap=False)
 
         use_sp_var = q0["count"] <= SPATIAL_VARIANCE_SAMPLE_THRESHOLD
 
@@ -220,13 +273,12 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
             oy = jnp.round(off_y).astype(jnp.int32)
             ox = jnp.round(off_x).astype(jnp.int32)
 
-            def shifted(c, dy, dx):
-                # dim 0 of the 3D reservoir window is a leading (untiled)
-                # dim, so a dynamic start is fine there; lanes roll
-                sl = win_r[pl.ds(halo + dy, bh), c, :]
-                return pltpu.roll(sl, -dx, axis=1)
-
-            q = _unpack_take(lambda c: shifted(c, oy, ox))
+            # dim 0 of the 3D reservoir window is a leading (untiled) dim,
+            # so a dynamic start is fine there; ONE 3-D lane roll shifts
+            # all 16 packed planes
+            tap_pl = pltpu.roll(win_r[pl.ds(halo + oy, bh), :, :],
+                                -ox, axis=2)
+            q = _unpack_tap(lambda c: tap_pl[:, c, :])
             sdep = shifted_d(oy, ox)
             oyf = oy.astype(jnp.float32)
             oxf = ox.astype(jnp.float32)
@@ -279,8 +331,17 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
             else:
                 mw = shade_lum(sdx, sdy, sdz, q["rad_r"], q["rad_g"],
                                q["rad_b"], q["rad_a"]) / jac
-            r = _rsv_merge(r, q, mw, ok & valid)
+            wrs_step(tap_pl, q, mw, ok & valid, is_tap=True)
 
+        # winner epilogue: ONE unpack of the selected planes; the visible
+        # point/normal keep the ORIGINAL semantics — q0's center values
+        # unless a tap's sample won after them (the modular op order sets
+        # vp/vn to q0 after the q0 merge, then lets tap merges overwrite)
+        r = _unpack_take(lambda c: win_pl[:, c, :])
+        r["w_sum"], r["w2_sum"], r["count"] = r_wsum, r_w2, r_cnt
+        r["life"] = r_life
+        for k in ("vpx", "vpy", "vpz", "vpd", "vnx", "vny", "vnz"):
+            r[k] = jnp.where(win_is_tap, r[k], q0[k])
         r = _rsv_clamp(r, max_cnt)
 
         ldx, ldy, ldz = _rsqrt_n(r["spx"] - s_vpx, r["spy"] - s_vpy,

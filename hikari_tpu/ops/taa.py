@@ -4,11 +4,14 @@ depth-ratio / position-distance / velocity-distance) gating a 3x3 YCoCg
 variance clip, then blend mix(prev, curr, 0.1 / upscale_ratio).
 
 TPU formulation: every *current-frame* tap is at a static offset -> static
-shifts; every *history* tap is at uv - velocity -> ONE shared warp window
-(ops.warp2) serving the Catmull-Rom color fetch, the 5-bias depth-quad /
-position / velocity disocclusion probes. (The reference's 5-tap Catmull-Rom
-approximation becomes the exact 4x4 kernel here — same filter, full
-footprint.)
+shifts; every *history* tap is at uv - velocity -> ONE shared banded
+channel-plane warp (ops.warp_band) serving the Catmull-Rom color fetch and
+the 5-bias depth-quad / position / velocity disocclusion probes. (The
+reference's 5-tap Catmull-Rom approximation becomes the exact 4x4 kernel
+here — same filter, full footprint.) The banded warp needs no HWC->lane
+pack: sources are channel-plane stacks built by one cheap moveaxis, and
+the disocclusion tests consume its [h, F, w] outputs as 2-D plane slices
+(measured 6.7 ms vs 26.6 ms for the packed v2 warp at 1080p x 10ch).
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hikari_tpu.ops.warp2 import warp_multi
+from hikari_tpu.ops.warp_band import warp_band
 from hikari_tpu.utils.math import (
     clip_towards_aabb_center,
     rgb_to_ycocg,
@@ -118,30 +121,32 @@ def taa_jasmine(gbuf, prev_gbuf, prev_taa, current, frame, clear_color, size):
     for dx in (-2, -1, 1, 2):
         pooled = jnp.maximum(pooled, _shift(pooled_y, 0, dx))
 
-    # ONE warp window over all history buffers: prev_taa rgb (0:3),
-    # prev pos xyz+depth (3:7), pooled max depth (7), prev velocity (8:10).
-    # Both reduces share a single per-group window DMA (ops/warp2.py).
-    packed = jnp.concatenate([prev_taa[..., :3], prev_pos,
-                              pooled[..., None], prev_vel[..., :2]], -1)
-    aux, prev_color = warp_multi(packed, sy, sx, [
-        ("nearest", (0.0, 0.0), (3, 10)),
-        ("catmull", (0.0, 0.0), (0, 3)),
-    ], dtype=jnp.bfloat16)  # colors/positions/velocities only — no ids
-    ppos = aux[..., 0:3]
-    pmax = aux[..., 4]
-    pvel = aux[..., 5:7]
+    # ONE banded warp over all history buffers (shared band coords, one
+    # window DMA per source per group): catmull rgb from prev_taa, nearest
+    # aux = prev pos xyz (0:3), pooled max depth (3), prev velocity (4:6).
+    src_rgb = jnp.moveaxis(prev_taa[..., :3], -1, 1)
+    src_aux = jnp.moveaxis(
+        jnp.concatenate([prev_pos[..., :3], pooled[..., None],
+                         prev_vel[..., :2]], -1), -1, 1)
+    from hikari_tpu.parallel import shard as _sh
+
+    pc_p, aux_p = warp_band([src_rgb, src_aux], ("catmull", "nearest"),
+                            sy, sx, mesh=_sh.active_mesh())
+    pmax = aux_p[:, 3, :]
 
     has_content |= pmax > 0.0
     depth_miss |= (pmax > 0.0) & (cur_depth / jnp.maximum(pmax, 1e-30) < 0.95)
     # position test at the center tap (the footprint OR is covered by the
-    # pooled depth test)
-    dist = jnp.sqrt(jnp.sum((pos[..., :3] - ppos) ** 2, -1))
+    # pooled depth test); plane-sliced from the warped aux
+    dist = jnp.sqrt(sum((pos[..., k] - aux_p[:, k, :]) ** 2
+                        for k in range(3)))
     position_miss |= dist > 0.5
 
-    vdist = jnp.sqrt(jnp.sum((velocity - pvel) ** 2, -1))
+    vdist = jnp.sqrt((velocity[..., 0] - aux_p[:, 4, :]) ** 2
+                     + (velocity[..., 1] - aux_p[:, 5, :]) ** 2)
     velocity_miss = vdist > 0.00005
 
-    prev_color = jnp.clip(prev_color, 0.0, 1.0)
+    prev_color = jnp.clip(jnp.moveaxis(pc_p, 1, -1), 0.0, 1.0)
 
     need_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)
 

@@ -233,26 +233,29 @@ def _mt_core(row, o, ox, oy, oz, dx, dy, dz):
     return dist, u, v, inst, valid
 
 
+SWEEP_BLOCKS = 8   # clusters per overflow-sweep iteration (one big DMA)
+
+
 def _make_kernel(mode: str, cluster: int, cap: int, total_clusters: int):
     rows_per = cluster // 8
     want_attr = mode == "full"
+    SB = SWEEP_BLOCKS
+    n_super = -(-total_clusters // SB)
 
-    def kernel(list_ref, count_ref, enter_ref, enter_all_ref, tris_any,
-               *rest):
+    def kernel(list_ref, count_ref, enter_ref, enter_all_ref, esup_ref,
+               tris_any, *rest):
         if want_attr:
             attr_any = rest[0]
             rest = rest[1:]
         rox, roy, roz, rdx, rdy, rdz, maxt, excl, incl = rest[:9]
         rest = rest[9:]
-        if mode == "full":
-            outs = rest[:9]
-            scr_pos, scr_attr, sem_pos, sem_attr = rest[9:]
-        elif mode == "hit":
-            outs = rest[:5]
-            scr_pos, sem_pos = rest[5:]
-        else:  # shadow
-            outs = rest[:2]
-            scr_pos, sem_pos = rest[2:]
+        n_out = _N_OUT[mode]
+        outs = rest[:n_out]
+        if want_attr:
+            (scr_pos, scr_attr, swp_pos, swp_attr,
+             sem_pos, sem_attr, sem_sw, sem_swa) = rest[n_out:]
+        else:
+            scr_pos, swp_pos, sem_pos, sem_sw = rest[n_out:]
 
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
@@ -268,50 +271,24 @@ def _make_kernel(mode: str, cluster: int, cap: int, total_clusters: int):
         cnt = count_ref[0, 0, 0]
         # overflow (cnt < 0): process the sorted cap-nearest prefix first
         # (early-out applies: unlisted clusters all have enter >= the
-        # prefix's last entry), then sweep every cluster only if the bound
-        # never dropped below enter[cap-1]
-        n = jnp.where(cnt < 0, cap + total_clusters, cnt)
+        # prefix's last entry), then sweep every cluster in SB-wide
+        # super-blocks only while the bound stays above enter[cap-1]
+        n = jnp.where(cnt < 0, cap, cnt)
 
-        def cid_of(j):
-            listed = list_ref[0, 0, jnp.minimum(j, cap - 1)]
-            return jnp.where((cnt < 0) & (j >= cap), j - cap, listed)
+        def tbest_of(carry):
+            if mode == "shadow":
+                td_c, ads_c, inst_c = carry
+                return jnp.where(inst_c >= 0.0, td_c / ads_c, F32_MAX)
+            return carry[0]
 
-        def dma_pos(slot, j):
-            return pltpu.make_async_copy(
-                tris_any.at[pl.ds(cid_of(j) * rows_per, rows_per), :],
-                scr_pos.at[slot], sem_pos.at[slot])
+        def bound_of(carry):
+            return jnp.max(jnp.minimum(tbest_of(carry), mt))
 
-        if want_attr:
-            def dma_attr(slot, j):
-                return pltpu.make_async_copy(
-                    attr_any.at[pl.ds(cid_of(j) * rows_per, rows_per), :],
-                    scr_attr.at[slot], sem_attr.at[slot])
-
-        @pl.when(n > 0)
-        def _():
-            dma_pos(0, 0).start()
-            if want_attr:
-                dma_attr(0, 0).start()
-
-        def body(state):
-            j, carry = state
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < n)
-            def _():
-                nslot = jax.lax.rem(j + 1, 2)
-                dma_pos(nslot, j + 1).start()
-                if want_attr:
-                    dma_attr(nslot, j + 1).start()
-
-            dma_pos(slot, j).wait()
-            if want_attr:
-                dma_attr(slot, j).wait()
-
+        def intersect_rows(read_pos, read_attr, c0):
             def row_body(r, c2):
-                row = scr_pos[pl.ds(slot, 1), pl.ds(r, 1), :]
+                row = read_pos(r)
                 if want_attr:
-                    arow = scr_attr[pl.ds(slot, 1), pl.ds(r, 1), :]
+                    arow = read_attr(r)
                 for o in range(0, 128, 16):
                     if mode == "shadow":
                         c2 = _shadow_tri(row, o, ox, oy, oz, dx, dy, dz,
@@ -355,47 +332,86 @@ def _make_kernel(mode: str, cluster: int, cap: int, total_clusters: int):
                                   jnp.where(ok, inst, ib))
                 return c2
 
-            def process(c0):
-                return jax.lax.fori_loop(0, rows_per, row_body, c0)
+            return jax.lax.fori_loop(0, rows_per, row_body, c0)
 
-            def vec_gate(c0):
-                # per-ray slab test against the block's AABB (stashed in the
-                # first packed row's padding lanes by models/clusters.py):
-                # intersect the 8-row block only if SOME ray can improve
-                r0 = scr_pos[pl.ds(slot, 1), pl.ds(0, 1), :]
-                t1x = (r0[0, 0, 11] - ox) * ivx
-                t2x = (r0[0, 0, 27] - ox) * ivx
-                t1y = (r0[0, 0, 12] - oy) * ivy
-                t2y = (r0[0, 0, 28] - oy) * ivy
-                t1z = (r0[0, 0, 13] - oz) * ivz
-                t2z = (r0[0, 0, 29] - oz) * ivz
-                t_en = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                               jnp.minimum(t1y, t2y)),
-                                   jnp.minimum(t1z, t2z))
-                t_ex = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                               jnp.maximum(t1y, t2y)),
-                                   jnp.maximum(t1z, t2z))
-                can = (t_ex >= t_en) & (t_ex >= 0.0) & (
-                    t_en < jnp.minimum(tb_c, mt))
-                return jax.lax.cond(jnp.any(can), process,
-                                    lambda c: c, c0)
+        def gated_block(read_pos, read_attr, tb_c, c0):
+            """Per-ray slab test against the block's AABB (stashed in the
+            first packed row's padding lanes by models/clusters.py):
+            intersect the 8-row block only if SOME ray can improve."""
+            r0 = read_pos(0)
+            t1x = (r0[0, 0, 11] - ox) * ivx
+            t2x = (r0[0, 0, 27] - ox) * ivx
+            t1y = (r0[0, 0, 12] - oy) * ivy
+            t2y = (r0[0, 0, 28] - oy) * ivy
+            t1z = (r0[0, 0, 13] - oz) * ivz
+            t2z = (r0[0, 0, 29] - oz) * ivz
+            t_en = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            t_ex = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                           jnp.maximum(t1y, t2y)),
+                               jnp.maximum(t1z, t2z))
+            can = (t_ex >= t_en) & (t_ex >= 0.0) & (
+                t_en < jnp.minimum(tb_c, mt))
+            return jax.lax.cond(
+                jnp.any(can),
+                lambda c: intersect_rows(read_pos, read_attr, c),
+                lambda c: c, c0)
 
-            # per-block skip: a block whose conservative entry t exceeds the
-            # packet's bound cannot improve any ray. The loop-level early-out
-            # can't catch these during overflow sweeps (unsorted cluster-id
-            # order), so test each block; the DMA already ran (wait above
-            # keeps the semaphore protocol trivially balanced) but the ~6 us
-            # of intersection math is skipped.
+        # ---------------- phase 1: sorted prefix ----------------
+        def dma_pos(slot, j):
+            cid = list_ref[0, 0, jnp.minimum(j, cap - 1)]
+            return pltpu.make_async_copy(
+                tris_any.at[pl.ds(cid * rows_per, rows_per), :],
+                scr_pos.at[slot], sem_pos.at[slot])
+
+        if want_attr:
+            def dma_attr(slot, j):
+                cid = list_ref[0, 0, jnp.minimum(j, cap - 1)]
+                return pltpu.make_async_copy(
+                    attr_any.at[pl.ds(cid * rows_per, rows_per), :],
+                    scr_attr.at[slot], sem_attr.at[slot])
+
+        @pl.when(n > 0)
+        def _():
+            dma_pos(0, 0).start()
+            if want_attr:
+                dma_attr(0, 0).start()
+
+        def body(state):
+            j, carry = state
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n)
+            def _():
+                nslot = jax.lax.rem(j + 1, 2)
+                dma_pos(nslot, j + 1).start()
+                if want_attr:
+                    dma_attr(nslot, j + 1).start()
+
+            dma_pos(slot, j).wait()
+            if want_attr:
+                dma_attr(slot, j).wait()
+
+            def rp(r):
+                return scr_pos[pl.ds(slot, 1), pl.ds(r, 1), :]
+
+            def ra(r):
+                return scr_attr[pl.ds(slot, 1), pl.ds(r, 1), :]
+
+            # per-block skip: a block whose conservative entry t exceeds
+            # the packet's bound cannot improve any ray (the DMA already
+            # ran; only the intersection math is skipped)
+            cid = list_ref[0, 0, jnp.minimum(j, cap - 1)]
             e_blk = enter_all_ref[
-                0, 0, jnp.minimum(cid_of(j), total_clusters - 1)]
-            if mode == "shadow":
-                td_c, ads_c, inst_c = carry
-                tb_c = jnp.where(inst_c >= 0.0, td_c / ads_c, F32_MAX)
-            else:
-                tb_c = carry[0]
+                0, 0, jnp.minimum(cid, total_clusters - 1)]
+            tb_c = tbest_of(carry)
             bound_c = jnp.max(jnp.minimum(tb_c, mt))
-            carry = jax.lax.cond(e_blk <= bound_c, vec_gate,
-                                 lambda c: c, carry)
+            carry = jax.lax.cond(
+                e_blk <= bound_c,
+                lambda c: gated_block(rp, ra if want_attr else None,
+                                      tb_c, c),
+                lambda c: c, carry)
             return j + 1, carry
 
         shape = ox.shape
@@ -413,33 +429,110 @@ def _make_kernel(mode: str, cluster: int, cap: int, total_clusters: int):
             j, carry = state
             go = j < n
             # front-to-back early-out: the list is sorted by conservative
-            # entry t, so once every ray's best-so-far (capped by its max_t)
-            # is closer than the next cluster's entry, no later cluster can
-            # produce a closer valid hit. Disabled for overflow sweeps
-            # (unsorted cluster-id order).
-            if mode == "shadow":
-                td, ads, inst_c = carry
-                t_best = jnp.where(inst_c >= 0.0, td / ads, F32_MAX)
-            else:
-                t_best = carry[0]
-            bound = jnp.max(jnp.minimum(t_best, mt))
-            # prefix: own sorted entry; sweep (j >= cap under overflow):
-            # every unlisted cluster has enter >= enter[cap-1]
+            # entry t, so once every ray's best-so-far (capped by its
+            # max_t) is closer than the next cluster's entry, no later
+            # cluster can produce a closer valid hit
             enter_j = enter_ref[0, 0, jnp.minimum(j, cap - 1)]
-            go &= enter_j <= bound
+            go &= enter_j <= bound_of(carry)
             return go
 
         j_stop, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
 
-        # drain the one in-flight prefetch the loop may have left behind:
-        # for j_stop == 0 that is the prologue's DMA, for 0 < j_stop < n the
-        # one body(j_stop - 1) started ahead
+        # drain the one in-flight prefetch the loop may have left behind
         @pl.when(j_stop < n)
         def _():
             slot = jax.lax.rem(j_stop, 2)
             dma_pos(slot, j_stop).wait()
             if want_attr:
                 dma_attr(slot, j_stop).wait()
+
+        # ---------------- phase 2: super-block sweep (overflow) ----------
+        # Overflow packets used to walk the remaining clusters ONE 4 KB
+        # DMA at a time — 2.3k iterations of DMA issue/wait dominated the
+        # realistic divergent-ray profile (round-5 probe: 46.9% of bounce
+        # packets overflow, p90 sees every cluster). The sweep now fetches
+        # SB consecutive clusters per iteration (the packed table is
+        # cluster-contiguous) and gates each block from VMEM; a per-super
+        # entry minimum (esup_ref) skips whole super-blocks.
+        def sdma_pos(slot, k):
+            return pltpu.make_async_copy(
+                tris_any.at[pl.ds(k * SB * rows_per, SB * rows_per), :],
+                swp_pos.at[slot], sem_sw.at[slot])
+
+        if want_attr:
+            def sdma_attr(slot, k):
+                return pltpu.make_async_copy(
+                    attr_any.at[pl.ds(k * SB * rows_per, SB * rows_per), :],
+                    swp_attr.at[slot], sem_swa.at[slot])
+
+        def sweep(c0):
+            sdma_pos(0, 0).start()
+            if want_attr:
+                sdma_attr(0, 0).start()
+
+            def sbody(state):
+                k, carry = state
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < n_super)
+                def _():
+                    nslot = jax.lax.rem(k + 1, 2)
+                    sdma_pos(nslot, k + 1).start()
+                    if want_attr:
+                        sdma_attr(nslot, k + 1).start()
+
+                sdma_pos(slot, k).wait()
+                if want_attr:
+                    sdma_attr(slot, k).wait()
+
+                tb_c = tbest_of(carry)
+                bound_c = jnp.max(jnp.minimum(tb_c, mt))
+
+                def proc(c):
+                    for b in range(SB):
+                        def rp(r, b=b):
+                            return swp_pos[pl.ds(slot, 1),
+                                           pl.ds(b * rows_per + r, 1), :]
+
+                        def ra(r, b=b):
+                            return swp_attr[pl.ds(slot, 1),
+                                            pl.ds(b * rows_per + r, 1), :]
+
+                        # clamped ids re-test the last cluster on the
+                        # padded tail — idempotent (same closest hit)
+                        cid = jnp.minimum(k * SB + b, total_clusters - 1)
+                        e_blk = enter_all_ref[0, 0, cid]
+                        c = jax.lax.cond(
+                            e_blk <= bound_c,
+                            lambda cc, rp=rp, ra=ra: gated_block(
+                                rp, ra if want_attr else None, tb_c, cc),
+                            lambda cc: cc, c)
+                    return c
+
+                carry = jax.lax.cond(esup_ref[0, 0, k] <= bound_c, proc,
+                                     lambda c: c, carry)
+                return k + 1, carry
+
+            def scond(state):
+                k, carry = state
+                go = k < n_super
+                # every unlisted cluster has enter >= enter[cap-1]
+                go &= enter_ref[0, 0, cap - 1] <= bound_of(carry)
+                return go
+
+            k_stop, cf = jax.lax.while_loop(scond, sbody,
+                                            (jnp.int32(0), c0))
+
+            @pl.when(k_stop < n_super)
+            def _():
+                slot = jax.lax.rem(k_stop, 2)
+                sdma_pos(slot, k_stop).wait()
+                if want_attr:
+                    sdma_attr(slot, k_stop).wait()
+
+            return cf
+
+        final = jax.lax.cond(cnt < 0, sweep, lambda c: c, final)
 
         if mode == "shadow":
             td, ads, inst = final
@@ -504,6 +597,19 @@ def _run_tiles(tris_packed, attr_packed, cl_aabb, ro_t9, lists, counts,
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     n_out = _N_OUT[mode]
+    # per-super-block entry minimum for the sweep's DMA-level skip, and
+    # zero row padding so the SB-wide sweep DMA never reads past the table
+    SB = SWEEP_BLOCKS
+    n_super = -(-total_clusters // SB)
+    cpad = n_super * SB - total_clusters
+    ea_p = jnp.pad(enter_all, ((0, 0), (0, cpad)), constant_values=F32_MAX)
+    esup = ea_p.reshape(tiles, n_super, SB).min(axis=-1)
+    if cpad:
+        tris_packed = jnp.pad(tris_packed,
+                              ((0, cpad * rows_per), (0, 0)))
+        if attr_packed is not None:
+            attr_packed = jnp.pad(attr_packed,
+                                  ((0, cpad * rows_per), (0, 0)))
     in_specs = [
         pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
@@ -513,17 +619,25 @@ def _run_tiles(tris_packed, attr_packed, cl_aabb, ro_t9, lists, counts,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, total_clusters), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [pltpu.VMEM((2, rows_per, 128), jnp.float32),
+               pltpu.VMEM((2, SB * rows_per, 128), jnp.float32),
+               pltpu.SemaphoreType.DMA((2,)),
                pltpu.SemaphoreType.DMA((2,))]
     args = [lists[:, None, :], counts[:, None, None], enter[:, None, :],
-            enter_all[:, None, :], tris_packed]
+            enter_all[:, None, :], esup[:, None, :], tris_packed]
     if mode == "full":
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(attr_packed)
         scratch = [pltpu.VMEM((2, rows_per, 128), jnp.float32),
                    pltpu.VMEM((2, rows_per, 128), jnp.float32),
+                   pltpu.VMEM((2, SB * rows_per, 128), jnp.float32),
+                   pltpu.VMEM((2, SB * rows_per, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
     outs = pl.pallas_call(

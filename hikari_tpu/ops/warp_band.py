@@ -62,6 +62,19 @@ NSH = 2 * R + 4          # static shifts per axis (4-tap frame + 2R band)
 WIN_R = GROUP_H + NSH - 1
 assert NCK * CHUNK >= (GROUP_W - 1 + NSH) + (CHUNK - 1)
 _CXF = 64                # x-chunk field bound in the scalar-prefetch pack
+# x margin: 64 lanes, PHASE-ALIGNED so a static camera's window origin
+# lands at o = 62 and any |group offset| <= 61 px/frame keeps the whole
+# 133-lane footprint within the first two chunks — the third chunk's DMA
+# is then skipped (pl.when on o)
+MX = 64
+_O2 = 2 * CHUNK - (GROUP_W - 1 + NSH)   # max o served by 2 chunks
+# scratch lane extent: next power of two >= NCK*CHUNK. Mosaic's dynamic
+# lane roll (pltpu.roll) SILENTLY MISCOMPILES on non-power-of-two lane
+# counts (384: ~100% wrong on a v5e, exact at 512 — see
+# tools/debug_warp_band_tpu.py / reproj_gather.SCR_LANES). Only NCK
+# chunks are DMA'd; rolled tap lanes stay <= (CHUNK-1) + GROUP_W-1+NSH-1
+# = 259 < NCK*CHUNK, so the undefined tail chunk is never read.
+SCR_LANES = 1 << (NCK * CHUNK - 1).bit_length()
 
 
 def _w1d(dist, kind: str):
@@ -91,79 +104,113 @@ def _make_kernel(kinds: Sequence[str], fps: Sequence[int]):
         g = pl.program_id(0)
         n = pl.num_programs(0)
 
-        def dma(slot, gi, s, j):
-            pk = pk_ref[gi]
+        def fields(gi):
+            pk = pk_ref[gi] >> 1
             row0 = pk // (CHUNK * _CXF)
             rem = pk - row0 * (CHUNK * _CXF)
-            cx = rem // CHUNK
+            return row0, rem // CHUNK, jax.lax.rem(rem, CHUNK)
+
+        def dma(slot, gi, s, j, cx, row0):
             return pltpu.make_async_copy(
                 srcs[s].at[pl.ds(row0, WIN_R), :, cx + j, :],
                 scrs[s].at[slot, :, :, pl.ds(j * CHUNK, CHUNK)],
                 sem.at[slot, s, j])
 
+        def start_group(slot, gi):
+            row0, cx, o = fields(gi)
+            for s in range(n_src):
+                for j in range(2):
+                    dma(slot, gi, s, j, cx, row0).start()
+
+                # the 3rd chunk only when the roll reaches past 2 chunks
+                @pl.when(o > _O2)
+                def _(s=s):
+                    dma(slot, gi, s, 2, cx, row0).start()
+
         @pl.when(g == 0)
         def _():
-            for s in range(n_src):
-                for j in range(NCK):
-                    dma(0, 0, s, j).start()
+            start_group(0, 0)
 
         slot = jax.lax.rem(g, 2)
 
         @pl.when(g + 1 < n)
         def _():
-            for s in range(n_src):
-                for j in range(NCK):
-                    dma(jax.lax.rem(g + 1, 2), g + 1, s, j).start()
+            start_group(jax.lax.rem(g + 1, 2), g + 1)
 
-        o = jax.lax.rem(pk_ref[g], CHUNK)
+        row0_g, cx_g, o = fields(g)
+        narrow = (pk_ref[g] & 1) == 1
         ly = ly_ref[...]
         lx = lx_ref[...]
-        # per-kind 1-D weights at each static shift ([GROUP_H, GROUP_W])
-        wy = {k: [_w1d(ly - s, k) for s in range(NSH)]
-              for k in uniq if k != "nearest"}
-        wx = {k: [_w1d(lx - t, k) for t in range(NSH)]
-              for k in uniq if k != "nearest"}
+
         if "nearest" in uniq:
             # 1-hot taps: a (ry, rx) mask per in-band shift pair is ~2.6x
-            # fewer VPU ops than the 2-D weighted sum (rounded local
-            # coords land in [1, NSH-2] by the band clamp)
+            # fewer VPU ops than the 2-D weighted sum (local coords are
+            # clamped to [1, NSH-2-eps], so rounded coords land in
+            # [1, NSH-2] — every pixel, in-band or clamped, hits a mask)
             ry = jnp.round(ly).astype(jnp.int32)
             rx = jnp.round(lx).astype(jnp.int32)
             nmask = [[(ry == s) & (rx == t)
                       for t in range(1, NSH - 1)]
                      for s in range(1, NSH - 1)]
+
+        def weighted(win_c, k, shifts):
+            wys = [_w1d(ly - s, k) for s in shifts]
+            wxs = [_w1d(lx - t, k) for t in shifts]
+            acc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
+            for i, sy_ in enumerate(shifts):
+                xacc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
+                for j, tx in enumerate(shifts):
+                    sl = jax.lax.slice(
+                        win_c, (sy_, tx), (sy_ + GROUP_H, tx + GROUP_W))
+                    xacc = xacc + wxs[j] * sl
+                acc = acc + wys[i] * xacc
+            return acc
+
         for s in range(n_src):
-            for j in range(NCK):
-                dma(slot, g, s, j).wait()
+            for j in range(2):
+                dma(slot, g, s, j, cx_g, row0_g).wait()
+
+            @pl.when(o > _O2)
+            def _(s=s):
+                dma(slot, g, s, 2, cx_g, row0_g).wait()
+
             rolled = pltpu.roll(scrs[s][slot], -o, axis=2)
             k = kinds[s]
-            for c in range(fps[s]):
-                win_c = rolled[:, c, :]          # [WIN_R, NCK*CHUNK]
-                acc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
-                if k == "nearest":
-                    for sy_ in range(1, NSH - 1):
-                        for tx in range(1, NSH - 1):
-                            sl = jax.lax.slice(
-                                win_c, (sy_, tx),
-                                (sy_ + GROUP_H, tx + GROUP_W))
-                            acc = jnp.where(
-                                nmask[sy_ - 1][tx - 1], sl, acc)
-                else:
-                    wys, wxs = wy[k], wx[k]
-                    for sy_ in range(NSH):
-                        xacc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
-                        for tx in range(NSH):
-                            sl = jax.lax.slice(
-                                win_c, (sy_, tx),
-                                (sy_ + GROUP_H, tx + GROUP_W))
-                            xacc = xacc + wxs[tx] * sl
-                        acc = acc + wys[sy_] * xacc
-                outs[s][:, c, :] = acc
+
+            def emit(shifts, s=s, k=k, rolled=rolled):
+                for c in range(fps[s]):
+                    win_c = rolled[:, c, :]      # [WIN_R, NCK*CHUNK]
+                    if k == "nearest":
+                        acc = jnp.zeros((GROUP_H, GROUP_W), jnp.float32)
+                        for sy_ in range(1, NSH - 1):
+                            for tx in range(1, NSH - 1):
+                                sl = jax.lax.slice(
+                                    win_c, (sy_, tx),
+                                    (sy_ + GROUP_H, tx + GROUP_W))
+                                acc = jnp.where(
+                                    nmask[sy_ - 1][tx - 1], sl, acc)
+                    else:
+                        acc = weighted(win_c, k, shifts)
+                    outs[s][:, c, :] = acc
+
+            if k == "nearest":
+                emit(None)
+            else:
+                # narrow groups (every local coord in [2, 3): uniform
+                # integer offsets — static scenes and smooth pans) only
+                # touch the central 4-tap support: 16 taps instead of 36
+                @pl.when(narrow)
+                def _():
+                    emit(range(1, 5))
+
+                @pl.when(~narrow)
+                def _():
+                    emit(range(NSH))
 
     return kernel
 
 
-def _band_coords(sy, sx, hs_p, ws_p, my, mx, hp, wp):
+def _band_coords(sy, sx, hs_p, ws_p, hp, wp):
     """Group window origins + per-pixel local coords (padded-source frame).
 
     sy/sx are clamped source coords (+margin shift applied by the caller).
@@ -184,21 +231,33 @@ def _band_coords(sy, sx, hs_p, ws_p, my, mx, hp, wp):
     gx0 = jnp.arange(gx, dtype=jnp.int32)[None, :] * GROUP_W
     row0 = jnp.clip(gy0 + rdy - (R + 1), 0, hs_p - WIN_R)
     # xw0 stays in [0, ws_p - NCK*CHUNK + CHUNK - 1] by the margin sizing
-    # (left margin CHUNK, right margin >= 2*CHUNK + 64); the clip guards
+    # (left margin MX, right margin >= 2*CHUNK + MX); the clip guards
     # pathological fields only
     xw0 = jnp.clip(gx0 + rdx - (R + 1), 0, ws_p - 2 * CHUNK - 1)
     cx = xw0 // CHUNK
     o = xw0 - cx * CHUNK
     x0 = xw0
-    pack = ((row0 * _CXF + cx) * CHUNK + o).reshape(-1)
     row0_e = jnp.repeat(jnp.repeat(row0, GROUP_H, 0), GROUP_W, 1)
     x0_e = jnp.repeat(jnp.repeat(x0, GROUP_H, 0), GROUP_W, 1)
     py = (jnp.arange(hp, dtype=jnp.float32) % GROUP_H)[:, None]
     px = (jnp.arange(wp, dtype=jnp.float32) % GROUP_W)[None, :]
     # full-support local range for the 4-tap frame: taps floor(l)-1..+2
-    # must land in [0, NSH); out-of-band pixels clamp to the band edge
-    ly = jnp.clip(sy - row0_e.astype(jnp.float32) - py, 1.0, NSH - 1 - 1e-3)
-    lx = jnp.clip(sx - x0_e.astype(jnp.float32) - px, 1.0, NSH - 1 - 1e-3)
+    # must land in [0, NSH), i.e. l in [1, NSH-2]; out-of-band pixels clamp
+    # to the band edge (in-band coords already lie in [1, NSH-2), so no
+    # in-band pixel is changed by the clip). The upper bound NSH-2-eps —
+    # not NSH-1 — keeps the full 4-tap support inside the static shift
+    # loop (catmull weights sum to 1) and rounds inside the nearest-mask
+    # range [1, NSH-2].
+    ly = jnp.clip(sy - row0_e.astype(jnp.float32) - py, 1.0, NSH - 2 - 1e-3)
+    lx = jnp.clip(sx - x0_e.astype(jnp.float32) - px, 1.0, NSH - 2 - 1e-3)
+    # narrow groups: every local coord in [2, 3) (uniform integer offsets)
+    # -> the weighted kernels' full support is the central 4 shifts
+    def gall(m):
+        return m.reshape(gy, GROUP_H, gx, GROUP_W).all(axis=(1, 3))
+
+    narrow = gall((ly >= 2.0) & (ly < 3.0) & (lx >= 2.0) & (lx < 3.0))
+    pack = (((row0 * _CXF + cx) * CHUNK + o) * 2
+            + narrow.astype(jnp.int32)).reshape(-1)
     return pack, ly, lx
 
 
@@ -209,11 +268,11 @@ def _warp_impl(sources: Sequence, kinds: Sequence[str], sy, sx,
     n_src = len(sources)
     hs, _, w = sources[0].shape
     h = sy.shape[0]
-    my, mx = GROUP_H, CHUNK
+    my, mx = GROUP_H, MX
     hs_p = hs + 2 * my
-    # right margin >= 2*CHUNK + 64: window origins near the right edge
-    # reach up to mx + w + ~64, and the NCK-chunk DMA needs 2 more chunks
-    ws_p = -(-(w + mx + 2 * CHUNK + 64) // CHUNK) * CHUNK
+    # right margin >= 2*CHUNK + MX: window origins near the right edge
+    # reach up to mx + w + ~MX, and the NCK-chunk DMA needs 2 more chunks
+    ws_p = -(-(w + mx + 2 * CHUNK + MX) // CHUNK) * CHUNK
     assert ws_p // CHUNK - NCK < _CXF, (
         f"render width {w} exceeds the {_CXF}-chunk pack-encoding range")
     srcs = []
@@ -237,7 +296,7 @@ def _warp_impl(sources: Sequence, kinds: Sequence[str], sy, sx,
                   ((0, hp - h), (0, wp - w)), mode="edge")
     sxp = jnp.pad(jnp.clip(sx, 0.0, w - 1.0) + mx,
                   ((0, hp - h), (0, wp - w)), mode="edge")
-    pack, ly, lx = _band_coords(syp, sxp, hs_p, ws_p, my, mx, hp, wp)
+    pack, ly, lx = _band_coords(syp, sxp, hs_p, ws_p, hp, wp)
     gy, gx = hp // GROUP_H, wp // GROUP_W
     G = gy * gx
 
@@ -251,7 +310,7 @@ def _warp_impl(sources: Sequence, kinds: Sequence[str], sy, sx,
         out_specs=[pl.BlockSpec((GROUP_H, fpad, GROUP_W),
                                 lambda g, pk, gx=gx: (g // gx, 0, g % gx))
                    for fpad in fpads],
-        scratch_shapes=[pltpu.VMEM((2, WIN_R, fpad, NCK * CHUNK),
+        scratch_shapes=[pltpu.VMEM((2, WIN_R, fpad, SCR_LANES),
                                    jnp.float32)
                         for fpad in fpads]
         + [pltpu.SemaphoreType.DMA((2, n_src, NCK))],
@@ -312,7 +371,12 @@ def warp_band(sources: Sequence, kinds, sy, sx,
     def local(sy_l, sx_l, *srcs):
         idx = jax.lax.axis_index(_sh.AXIS)
         base = idx * hl - halo
-        srcs_h = [_sh.halo_rows(s, halo, halo, n, axis=0) for s in srcs]
+        # replicate halos at the mesh edges: the single-device sampler
+        # edge-pads the source, so border taps must read the boundary row,
+        # not the ppermute ring's zeros (parity at the image's first/last
+        # rows — tests/test_parallel.py reference-default case)
+        srcs_h = [_sh.halo_rows(s, halo, halo, n, axis=0,
+                                edge="replicate") for s in srcs]
         # clamp in GLOBAL coords first (the original image extent), then
         # rebase into the halo-extended local block
         sy_g = jnp.clip(sy_l, 0.0, h - 1.0) - base

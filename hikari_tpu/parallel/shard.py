@@ -75,10 +75,17 @@ def pad_rows_to(x, mult: int, axis: int = 0):
     return jnp.pad(x, pad, mode="edge"), h
 
 
-def halo_rows(x, up: int, down: int, n: int, axis: int = 0):
+def halo_rows(x, up: int, down: int, n: int, axis: int = 0,
+              edge: str = "zero"):
     """Inside a shard_map body: extend the local row block with `up` rows
-    from the previous shard and `down` rows from the next (zeros at the
-    mesh edges — callers mask or reject reads there)."""
+    from the previous shard and `down` rows from the next.
+
+    edge="zero": zeros at the mesh edges — callers mask or reject reads
+    there (reservoir gathers: a zero decodes as the empty reservoir).
+    edge="replicate": the mesh-edge shards replicate their own boundary
+    row into the missing halo — bit-matching the single-device samplers'
+    clamp-to-edge padding (value warps MUST use this: a zero halo under a
+    catmull/nearest tap fabricates in-gamut 0.0s at the image border)."""
     if up == 0 and down == 0:
         return x
     assert up <= x.shape[axis] and down <= x.shape[axis], (
@@ -89,14 +96,26 @@ def halo_rows(x, up: int, down: int, n: int, axis: int = 0):
         idx[axis] = sl
         return a[tuple(idx)]
 
+    def rep(sl, count):
+        row = take(x, sl)
+        reps = [1] * x.ndim
+        reps[axis] = count
+        return jnp.tile(row, reps)
+
+    idx = jax.lax.axis_index(AXIS)
     parts = []
     if up:
         top = jax.lax.ppermute(take(x, slice(-up, None)), AXIS,
                                [(i, i + 1) for i in range(n - 1)])
+        if edge == "replicate":
+            top = jnp.where(idx == 0, rep(slice(0, 1), up), top)
         parts.append(top)
     parts.append(x)
     if down:
         bot = jax.lax.ppermute(take(x, slice(0, down)), AXIS,
                                [(i + 1, i) for i in range(n - 1)])
+        if edge == "replicate":
+            bot = jnp.where(idx == n - 1,
+                            rep(slice(x.shape[axis] - 1, None), down), bot)
         parts.append(bot)
     return jnp.concatenate(parts, axis=axis)

@@ -22,10 +22,11 @@ def golden_names():
 
 
 @pytest.mark.parametrize("name", ["minimal_raw", "cornell_raw",
-                                  "cornell_denoised", "simple_raw"])
+                                  "cornell_denoised", "simple_raw",
+                                  "cornell_reuse"])
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
-    # the four goldens are committed — a missing file is a repo regression,
+    # the five goldens are committed — a missing file is a repo regression,
     # not a skip condition (VERDICT r2 weak #7)
     assert os.path.exists(path), (
         f"committed golden {name}.npz missing (tools/make_goldens.py)")

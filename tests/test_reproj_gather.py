@@ -65,13 +65,15 @@ def test_reproj_gather_sharded_matches_single():
 
 
 @pytest.mark.parametrize("kind,mag,min_frac", [
-    # thresholds for THIS small test frame (64x384): edge groups with
-    # clipped means are proportionally larger than at 1080p, where the
-    # probe measures >=99.3% at 0.01 (tools/probe_reproj_band.py)
-    ("zoom", 0.01, 0.95),     # 1%/frame scale ramp
-    ("rotate", 0.01, 0.95),   # 0.57 deg/frame roll
-    ("zoom", 0.02, 0.88),
-    ("rotate", 0.02, 0.88),
+    # the symmetric +-2 x band (XT=5, round-5) absorbs the 2%-zoom ramp
+    # completely (x varies +-1.3 px across a 128-lane group + rounding);
+    # rotation at 2% additionally ramps dy across the group's 128 lanes,
+    # which the +-1 y band only mostly covers (band sim: 0.94 on this
+    # frame) — at production rates (<=1%/frame) everything is in-band
+    ("zoom", 0.01, 0.999),    # 1%/frame scale ramp
+    ("rotate", 0.01, 0.999),  # 0.57 deg/frame roll
+    ("zoom", 0.02, 0.99),
+    ("rotate", 0.02, 0.90),
 ])
 def test_reproj_gather_non_translational_motion(kind, mag, min_frac):
     """Zoom/rotation produce offsets that vary linearly across a group —

@@ -9,7 +9,7 @@ import numpy as np
 from hikari_tpu.ops.warp_band import R, warp_band
 
 
-def _fields(h, w, H, W, amp, seed=0):
+def _fields(h, w, amp, seed=0):
     """Smooth displacement field whose offsets stay within +-R of each
     8x128 group's mean: gradient bounded so group-wide variation (+-64 px
     from the group center) plus jitter plus mean rounding stays under R."""
@@ -60,7 +60,7 @@ def test_warp_band_matches_oracle_all_kinds():
     H = W = 256
     s1 = jnp.asarray(rng.uniform(0, 1, (H, 3, W)).astype(np.float32))
     s2 = jnp.asarray(rng.uniform(0, 1, (H, 6, W)).astype(np.float32))
-    sy, sx = _fields(H, W, H, W, amp=1.0)
+    sy, sx = _fields(H, W, amp=1.0)
 
     outs = warp_band([s1, s2, s1], ("catmull", "nearest", "bilinear"),
                      sy, sx, interpret=True)
@@ -110,20 +110,34 @@ def test_warp_band_borders():
 
 def test_warp_band_out_of_band_clamps():
     """A displacement step bigger than the band: out-of-band pixels clamp
-    to the band edge (finite values, no NaN), in-band pixels stay exact."""
+    to the band edge and yield a REAL band-edge sample — for 'nearest' a
+    value actually present in the source window (never a fabricated 0),
+    for weighted kinds a partition-of-unity blend (catmull weights sum
+    to 1, so outputs stay within the source's value range). In-band pixels
+    stay exact."""
     rng = np.random.default_rng(7)
     H, W = 32, 128
-    src = jnp.asarray(rng.uniform(0, 1, (H, 2, W)).astype(np.float32))
+    # sources bounded AWAY from zero so a fabricated 0.0 is detectable
+    src = jnp.asarray(rng.uniform(0.5, 1.0, (H, 2, W)).astype(np.float32))
     yy = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
     xx = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
     # half the rows jump +9 rows: the 8-row groups they share with
     # unjumped rows get a split mean -> both sides partially out of band
     sy = yy + jnp.where(yy < 16, 0.0, 9.0 * (R + 1))
     sx = xx
-    out, = warp_band([src], ("bilinear",), sy, sx, interpret=True)
-    o = np.asarray(out)
-    assert np.isfinite(o).all()
-    want = _oracle(src, sy, sx, "bilinear")
-    # rows far from the step are in-band and exact
-    err = np.abs(o[:8] - want[:8]).max()
-    assert err < 1e-4, err
+    for kind in ("bilinear", "nearest", "catmull"):
+        out, = warp_band([src], (kind,), sy, sx, interpret=True)
+        o = np.asarray(out)
+        assert np.isfinite(o).all(), kind
+        # no out-of-band pixel may output 0.0 (the source has none):
+        # 'nearest' must hit a real mask tap, weighted kinds must keep
+        # their full 4-tap support inside the window (weights sum to 1)
+        assert o.min() >= 0.4, (kind, o.min())
+        if kind == "nearest":
+            assert np.isin(np.round(o, 5),
+                           np.round(np.asarray(src), 5)).mean() > 0.999
+        want = _oracle(src, sy, sx, kind)
+        # rows far from the step are in-band and exact
+        err = np.abs(o[:8] - want[:8]).max()
+        tol = 5e-3 if kind == "nearest" else 1e-3
+        assert err < tol, (kind, err)

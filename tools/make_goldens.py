@@ -28,6 +28,13 @@ RAW = dataclasses.replace(HikariSettings(), denoise=False, taa=Taa.NONE,
                           upscale=Upscale.none())
 DENOISED = dataclasses.replace(HikariSettings(), taa=Taa.NONE,
                                upscale=Upscale.none())
+# full reuse: temporal + BOTH spatial-reuse tracks + denoise (the fused
+# temporal/spatial Pallas kernels' u32 bit-paths all engage on chip);
+# 24 frames so the reservoirs converge through several validation cycles
+REUSE = dataclasses.replace(HikariSettings(), taa=Taa.NONE,
+                            upscale=Upscale.none(), temporal_reuse=True,
+                            emissive_spatial_reuse=True,
+                            indirect_spatial_reuse=True)
 
 
 def configs():
@@ -41,6 +48,8 @@ def configs():
         "cornell_denoised": (cornell, dict(eye=(0, 1, 4), target=(0, 1, 0)),
                              DENOISED, 12),
         "simple_raw": (simple, dict(eye=(-10, 2.5, 20), target=(0, 0, 0)), RAW, 12),
+        "cornell_reuse": (cornell, dict(eye=(0, 1, 4), target=(0, 1, 0)),
+                          REUSE, 24),
     }
 
 
