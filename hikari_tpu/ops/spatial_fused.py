@@ -202,18 +202,20 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
                               params[0, _S_CAM + 2] - pz)
         surf = _mat_sweep(mats, n_mats, mat_ref[...])
 
-        center_pl = win_r[pl.ds(halo, bh), :, :]       # [bh, 16, wp]
-        q0 = _unpack_take(lambda c: center_pl[:, c, :])
-        prev_pl = prev_ref[...]
+        center_pls = [win_r[pl.ds(halo, bh), c, :] for c in range(16)]
+        q0 = _unpack_take(lambda c: center_pls[c])
 
         # WRS with a WINNER-PLANE epilogue (VERDICT r4 next #3): the tap
         # loop updates only the scalar reservoir algebra (w_sum, w2_sum,
         # count) plus ONE masked select of the winning tap's 16 PACKED
         # planes; the 23-field sample unpack/select per tap collapses to a
-        # single unpack of the winner after the loop.
+        # single unpack of the winner after the loop. All state stays 2-D
+        # per-plane: Mosaic lowers [bh,16,wp] broadcast selects and 3-D
+        # dynamic lane rolls ~2x slower than 16 plane-wise ops (measured
+        # 31.9 -> expected ~16 ms for the 16-tap kernel at 1080p).
         keep_history = q0["life"] <= max_life
-        kh3 = keep_history[:, None, :]
-        win_pl = jnp.where(kh3, prev_pl, center_pl)
+        win_pls = [jnp.where(keep_history, prev_ref[:, c, :],
+                             center_pls[c]) for c in range(16)]
         win_is_tap = jnp.zeros((bh, wp), jnp.bool_)
         # scalar state of the start reservoir (prev scalars live in packed
         # lanes 12/14/15 — decode just those instead of the full 16)
@@ -240,7 +242,7 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
         def wrs_step(planes, q, mw, mask, is_tap):
             """Scalar WRS merge + winner-plane select (merge_reservoir,
             light.wgsl:175-179, with the sample select deferred)."""
-            nonlocal r_wsum, r_w2, r_cnt, win_pl, win_is_tap
+            nonlocal r_wsum, r_w2, r_cnt, win_pls, win_is_tap
             w_new = mw * q["w"] * q["count"]
             ws_n = r_wsum + w_new
             rand = jnp.mod(q["rnd0"] + q["rnd1"] + q["rnd2"] + q["rnd3"],
@@ -249,7 +251,8 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
             r_wsum = jnp.where(mask, ws_n, r_wsum)
             r_w2 = jnp.where(mask, r_w2 + w_new * w_new, r_w2)
             r_cnt = jnp.where(mask, r_cnt + q["count"], r_cnt)
-            win_pl = jnp.where(replace[:, None, :], planes, win_pl)
+            win_pls = [jnp.where(replace, p, wp_)
+                       for p, wp_ in zip(planes, win_pls)]
             if is_tap:
                 win_is_tap = win_is_tap | replace
             else:
@@ -262,7 +265,7 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
                                      q0["spz"] - s_vpz)
             merge_w0 = shade_lum(d0x, d0y, d0z, q0["rad_r"], q0["rad_g"],
                                  q0["rad_b"], q0["rad_a"])
-        wrs_step(center_pl, q0, merge_w0, valid, is_tap=False)
+        wrs_step(center_pls, q0, merge_w0, valid, is_tap=False)
 
         use_sp_var = q0["count"] <= SPATIAL_VARIANCE_SAMPLE_THRESHOLD
 
@@ -274,11 +277,11 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
             ox = jnp.round(off_x).astype(jnp.int32)
 
             # dim 0 of the 3D reservoir window is a leading (untiled) dim,
-            # so a dynamic start is fine there; ONE 3-D lane roll shifts
-            # all 16 packed planes
-            tap_pl = pltpu.roll(win_r[pl.ds(halo + oy, bh), :, :],
-                                -ox, axis=2)
-            q = _unpack_tap(lambda c: tap_pl[:, c, :])
+            # so a dynamic start is fine there; lanes roll plane-wise
+            # (2-D ops — see the winner-plane note above)
+            tap_pls = [pltpu.roll(win_r[pl.ds(halo + oy, bh), c, :],
+                                  -ox, axis=1) for c in range(16)]
+            q = _unpack_tap(lambda c: tap_pls[c])
             sdep = shifted_d(oy, ox)
             oyf = oy.astype(jnp.float32)
             oxf = ox.astype(jnp.float32)
@@ -331,13 +334,13 @@ def _build_kernel(*, emissive_lit: bool, count_taps: int, reuse_range: int,
             else:
                 mw = shade_lum(sdx, sdy, sdz, q["rad_r"], q["rad_g"],
                                q["rad_b"], q["rad_a"]) / jac
-            wrs_step(tap_pl, q, mw, ok & valid, is_tap=True)
+            wrs_step(tap_pls, q, mw, ok & valid, is_tap=True)
 
         # winner epilogue: ONE unpack of the selected planes; the visible
         # point/normal keep the ORIGINAL semantics — q0's center values
         # unless a tap's sample won after them (the modular op order sets
         # vp/vn to q0 after the q0 merge, then lets tap merges overwrite)
-        r = _unpack_take(lambda c: win_pl[:, c, :])
+        r = _unpack_take(lambda c: win_pls[c])
         r["w_sum"], r["w2_sum"], r["count"] = r_wsum, r_w2, r_cnt
         r["life"] = r_life
         for k in ("vpx", "vpy", "vpz", "vpd", "vnx", "vny", "vnz"):
